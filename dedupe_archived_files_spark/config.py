@@ -1,0 +1,86 @@
+"""Pipeline configuration — the analogue of the reference's ``AppConfig``
+(reference core/models.py:83-121, 16 scalar knobs + validate()).
+
+All thresholds that shaped the reference's behavior are carried over with the
+same semantics, re-based onto web pages:
+
+* ``min_size``             — reference ``min_file_size`` (core/scanner.py:143-145):
+                             rows below it are filtered symmetrically everywhere.
+* ``quick_hash_size``      — reference ``partial_hash_size=8192`` (core/models.py:98):
+                             the cheap blocking hash covers the first N bytes.
+* ``quick_hash_threshold`` — reference ``partial_hash_threshold=1 MiB``
+                             (core/models.py:97): only bodies >= this get the
+                             two-tier quick-then-verify treatment.
+* ``max_iterations``       — reference ``max_recursion_depth=10``
+                             (core/extractor.py:68): caps the connected-components
+                             driver loop the way the reference caps nested-archive
+                             recursion.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- filtering (reference P2/P3) ---
+    min_size: int = 0  # bytes of extracted text; symmetric on both join sides
+
+    # --- two-tier hashing (reference P4-P8, models.py:97-98) ---
+    quick_hash_size: int = 8192
+    quick_hash_threshold: int = 1_048_576
+
+    # --- near-dup blocking (north rule; no reference analogue) ---
+    shingle_size: int = 3            # token n-gram width
+    minhash_perms: int = 128         # signature length
+    lsh_bands: int = 32              # bands * rows_per_band == minhash_perms
+    tau_jaccard: float = 0.85        # verification threshold on exact Jaccard
+    simhash_bits: int = 60           # fits a signed 64-bit long
+    max_hamming: int = 3
+
+    # --- skew handling (north rule) ---
+    max_block_size: int = 2000       # rows per blocking key before salting/capping
+    salt_buckets: int = 16
+
+    # --- clustering ---
+    max_iterations: int = 10         # CC driver-loop cap (reference depth cap)
+
+    # --- incremental / lineage ---
+    checkpoint_dir: str | None = None
+
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def lsh_rows_per_band(self) -> int:
+        return self.minhash_perms // self.lsh_bands
+
+    def validate(self) -> list[str]:
+        """Return a list of human-readable problems (reference
+        AppConfig.validate(), core/models.py:102-121, returns error strings)."""
+        errors: list[str] = []
+        if self.min_size < 0:
+            errors.append("min_size must be >= 0")
+        if self.quick_hash_size <= 0:
+            errors.append("quick_hash_size must be > 0")
+        if self.quick_hash_threshold < self.quick_hash_size:
+            errors.append("quick_hash_threshold must be >= quick_hash_size")
+        if self.minhash_perms % self.lsh_bands != 0:
+            errors.append("minhash_perms must be divisible by lsh_bands")
+        if not (0.0 < self.tau_jaccard <= 1.0):
+            errors.append("tau_jaccard must be in (0, 1]")
+        if not (0 < self.simhash_bits <= 63):
+            errors.append("simhash_bits must fit a signed 64-bit long")
+        if self.max_iterations < 1:
+            errors.append("max_iterations must be >= 1")
+        if self.shingle_size < 1:
+            errors.append("shingle_size must be >= 1")
+        if self.max_block_size < 2:
+            errors.append("max_block_size must be >= 2")
+        return errors
+
+    def validated(self) -> "PipelineConfig":
+        errs = self.validate()
+        if errs:
+            raise ValueError("; ".join(errs))
+        return self
