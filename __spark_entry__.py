@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes every operator family from SURVEY.md §2 (implementations in
+dedupe_archived_files_spark.queries); `oracle_sql()` gives the DuckDB-equivalent
+SQL. Column names/types are aligned pairwise (see queries.py parity rules).
 """
 
 from __future__ import annotations
@@ -12,27 +10,305 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_archived_files_spark import queries as Q
+from dedupe_archived_files_spark.config import PipelineConfig
+from dedupe_archived_files_spark.plans.pipeline import run_pipeline
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full dedupe pipeline (extract → block → score → cluster →
+    resolve) over the documents table viewed as web pages; every doc gets its
+    duplicate-cluster assignment (singletons map to themselves)."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2025-06-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    cfg = PipelineConfig(tau_jaccard=0.9, shingle_size=3)
+    res = run_pipeline(pages, cfg)
+    labels = res.labels.select(
+        F.col("url"), F.col("component").alias("cluster_id")
+    )
+    return (
+        pages.select("url")
+        .join(labels, "url", "left")
+        .select(
+            "url",
+            F.coalesce(F.col("cluster_id"), F.col("url")).alias("cluster_id"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # exact-duplicate family (reference J1/J2/J3/A1/A6)
+        "exact_dup_groups_events": Q.exact_dup_groups_events,
+        "exact_dup_clusters_documents": Q.exact_dup_clusters_documents,
+        "quick_block_verify_documents": Q.quick_block_verify_documents,
+        # near-duplicate family (north rule)
+        "near_dup_jaccard_pairs": Q.near_dup_jaccard_pairs,
+        "minhash_lsh_near_dup": Q.minhash_lsh_near_dup,
+        "simhash_hamming_pairs": Q.simhash_hamming_pairs,
+        "connected_components_docs": Q.connected_components_docs,
+        # text analysis
+        "lang_id_documents": Q.lang_id_documents,
+        "quality_scores_documents": Q.quality_scores_documents,
+        "token_counts_documents": Q.token_counts_documents,
+        "doc_fingerprints": Q.doc_fingerprints,
+        # relational operator family (reference joins/aggs/sorts)
+        "semi_join_suppliers": Q.semi_join_suppliers,
+        "anti_join_customers": Q.anti_join_customers,
+        "left_join_coalesce_default": Q.left_join_coalesce_default,
+        "last_writer_wins_events": Q.last_writer_wins_events,
+        "group_stats_documents": Q.group_stats_documents,
+        "union_dedup_docs": Q.union_dedup_docs,
+        "topk_chars_per_lang": Q.topk_chars_per_lang,
+        "tumbling_window_counts": Q.tumbling_window_counts,
+        # embeddings / ANN
+        "embedding_topk_cosine": Q.embedding_topk_cosine,
+        "embedding_ann_lsh": Q.embedding_ann_lsh,
+        # multimodal plumbing
+        "multimodal_binary_meta": Q.multimodal_binary_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKS = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+_LANG_SETS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "que"],
+}
+
+
+def _simhash_sql() -> str:
+    bit_sum = " + ".join(
+        f"(CASE WHEN sum(2 * ((h >> {b}) & 1) - 1) > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         unnest(list_distinct({_TOKS})) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, lang, source,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+sig AS (
+  SELECT doc_id, lang, source, {bit_sum} AS sh
+  FROM th GROUP BY doc_id, lang, source
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 10
+"""
+
+
+_JACCARD_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, list_distinct({_TOKS}) AS toks FROM documents
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(len(list_intersect(a.toks, b.toks)) * 1.0
+             / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac
+FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+"""
+
+
+def _lang_id_sql() -> str:
+    score = lambda lang: (  # noqa: E731
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in _LANG_SETS[lang])
+        + "], t)))"
+    )
+    g = f"greatest({score('en')}, {score('de')}, {score('fr')}, {score('es')})"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CASE WHEN {g} = 0 THEN 'und'
+            WHEN {score('en')} = {g} THEN 'en'
+            WHEN {score('de')} = {g} THEN 'de'
+            WHEN {score('fr')} = {g} THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       {g} AS best_score
+FROM t
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dup_groups_events": """
+            SELECT md5(props) AS content_hash, count(*) AS n_copies,
+                   min(event_id) AS canonical_id
+            FROM events GROUP BY props HAVING count(*) >= 2
+        """,
+        "exact_dup_clusters_documents": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id,
+                   count(*) OVER (PARTITION BY md5(text)) AS cluster_size
+            FROM documents
+        """,
+        "quick_block_verify_documents": """
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   (a.text = b.text) AS verified
+            FROM documents a JOIN documents b
+              ON md5(substr(a.text, 1, 32)) = md5(substr(b.text, 1, 32))
+             AND a.doc_id < b.doc_id
+        """,
+        "near_dup_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        "minhash_lsh_near_dup": _JACCARD_PAIRS_SQL,
+        "simhash_hamming_pairs": _simhash_sql(),
+        "connected_components_docs": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
+            ),
+            e AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM t a JOIN t b
+                ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+                    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+            ),
+            sym AS (
+              SELECT u, v FROM e UNION SELECT v, u FROM e
+              UNION SELECT u, u FROM e UNION SELECT v, v FROM e
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+            )
+            SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u
+        """,
+        "lang_id_documents": _lang_id_sql(),
+        "quality_scores_documents": f"""
+            WITH t AS (SELECT doc_id, text, len({_TOKS}) AS n_tok FROM documents)
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   CAST(n_tok AS BIGINT) AS n_tokens,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                         / nullif(n_tok, 0), 4) AS avg_token_len,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                         / nullif(length(text), 0), 4) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                         / nullif(length(text), 0), 4) AS alpha_ratio
+            FROM t
+        """,
+        "token_counts_documents": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS ws,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x != '') AS re
+              FROM documents
+            )
+            SELECT doc_id, CAST(len(ws) AS BIGINT) AS ws_tokens,
+                   CAST(len(re) AS BIGINT) AS re_tokens,
+                   CAST(len(list_distinct(re)) AS BIGINT) AS distinct_tokens
+            FROM t
+        """,
+        "doc_fingerprints": """
+            WITH pos AS (
+              SELECT doc_id, i AS pos,
+                     CAST(concat('0x', substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15)) AS BIGINT) AS h
+              FROM documents, unnest(range(1, length(text) - 6)) AS u(i)
+              WHERE length(text) >= 8
+            ),
+            mins AS (
+              SELECT doc_id,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+              FROM pos
+            )
+            SELECT doc_id, CAST(count(DISTINCT mh) AS BIGINT) AS n_fp,
+                   CAST(sum(mh % 1000000007) AS BIGINT) AS fp_checksum
+            FROM mins GROUP BY doc_id
+        """,
+        "semi_join_suppliers": """
+            SELECT s_suppkey, s_name FROM supplier s
+            WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "left_join_coalesce_default": """
+            SELECT o_orderkey, coalesce(c.c_mktsegment, 'NONE') AS segment
+            FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+              ON o.o_custkey = c.c_custkey
+        """,
+        "last_writer_wins_events": """
+            SELECT user_id, event_id, event_type, value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "group_stats_documents": """
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang, source
+        """,
+        "union_dedup_docs": """
+            SELECT doc_id FROM documents WHERE lang = 'en'
+            UNION
+            SELECT doc_id FROM documents WHERE n_chars > 300
+        """,
+        "topk_chars_per_lang": """
+            SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rk
+              FROM documents
+            ) WHERE rk <= 3
+        """,
+        "tumbling_window_counts": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+                   count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "embedding_topk_cosine": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            n AS (
+              SELECT vec_id, v,
+                     sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+              FROM e
+            ),
+            s AS (
+              SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                     list_aggregate(
+                       list_transform(range(1, len(q.v) + 1), i -> q.v[i] * t.v[i]),
+                       'sum') / (q.nrm * t.nrm) AS sim
+              FROM n q JOIN n t ON q.vec_id != t.vec_id
+              WHERE q.vec_id < 20
+            )
+            SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) AS sim
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id ASC) AS rk
+              FROM s
+            ) WHERE rk <= 5
+        """,
+        # embedding_ann_lsh: intentionally no oracle (engine-internal hyperplane
+        # constants) → driver records the weaker rows-only check.
+        "multimodal_binary_meta": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS content_md5, (text LIKE '<%') AS looks_html
+            FROM documents
+        """,
+    }

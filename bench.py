@@ -1,0 +1,112 @@
+"""Benchmark harness: headline queries + the full dedupe pipeline at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "e2e_pipeline_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1, "pages_per_sec": ...}
+
+Execution is forced with the noop sink (full computation, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from dedupe_archived_files_spark import queries as Q
+from dedupe_archived_files_spark.config import PipelineConfig
+from dedupe_archived_files_spark.plans.pipeline import run_pipeline
+from dedupe_archived_files_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "exact_dup_groups_events",
+    "exact_dup_clusters_documents",
+    "minhash_lsh_near_dup",
+    "simhash_hamming_pairs",
+    "connected_components_docs",
+    "lang_id_documents",
+    "quality_scores_documents",
+    "token_counts_documents",
+    "doc_fingerprints",
+    "last_writer_wins_events",
+    "group_stats_documents",
+    "topk_chars_per_lang",
+    "tumbling_window_counts",
+    "embedding_topk_cosine",
+    "embedding_ann_lsh",
+    "multimodal_binary_meta",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def docs_as_pages(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2025-06-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    results: dict[str, float] = {}
+    all_q = {
+        name: fn
+        for name, fn in vars(Q).items()
+        if callable(fn) and name in BENCH_QUERIES
+    }
+    for name in BENCH_QUERIES:
+        fn = all_q[name]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        results[name] = round(time.time() - t0, 3)
+
+    # end-to-end pipeline: extract → block → score → cluster → resolve
+    pages = docs_as_pages(spark, sf_dir)
+    n_pages = pages.count()
+    cfg = PipelineConfig(tau_jaccard=0.9)
+    t0 = time.time()
+    res = run_pipeline(pages, cfg)
+    force(res.clusters)
+    pipeline_sec = time.time() - t0
+    results["pipeline_documents"] = round(pipeline_sec, 3)
+
+    sf = None
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_pipeline_sec",
+                "value": round(pipeline_sec, 3),
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "n_pages": n_pages,
+                "pages_per_sec": round(n_pages / pipeline_sec, 1),
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Stage 3 — score: candidate pairs → verified match edges.
+
+The verification tier (reference J3, core/scanner.py:366-387: blocked
+candidates are re-checked with the exact computation; false positives drop
+out). Channels:
+
+* exact full_hash equality             → score 1.0   (reference's only metric)
+* exact Jaccard over shingle sets      → keep >= cfg.tau_jaccard
+* SimHash Hamming distance             → keep <= cfg.max_hamming
+* Jaro-Winkler on normalized urls      → reported as a feature, not a gate
+
+Everything except Jaro-Winkler is JVM-side array/bit arithmetic; all of it
+runs only on blocked candidates (post-LSH volume).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedupe_archived_files_spark.config import PipelineConfig
+from dedupe_archived_files_spark.functions.minhash import jaccard
+from dedupe_archived_files_spark.functions.simhash import (
+    distinct_token_hashes,
+    hamming,
+    simhash_udf,
+)
+from dedupe_archived_files_spark.functions.strings import jaro_winkler_udf
+from dedupe_archived_files_spark.functions.text import normalize_url
+
+
+def pair_features(pages_sig: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Join candidate pairs to per-doc features and compute pairwise scores.
+
+    Two hash-joins on url (the features side carries only the columns needed —
+    shingle_set, simhash, full_hash — so the shuffled payload stays small;
+    text/html never travel)."""
+    feats = pages_sig.select(
+        "url",
+        "full_hash",
+        "shingle_set",
+        simhash_udf(distinct_token_hashes(F.col("toks"))).alias("simhash"),
+        normalize_url(F.col("url")).alias("norm_url"),
+    )
+    fa = feats.select(
+        F.col("url").alias("url_a"),
+        F.col("full_hash").alias("fh_a"),
+        F.col("shingle_set").alias("sh_a"),
+        F.col("simhash").alias("sim_a"),
+        F.col("norm_url").alias("nu_a"),
+    )
+    fb = feats.select(
+        F.col("url").alias("url_b"),
+        F.col("full_hash").alias("fh_b"),
+        F.col("shingle_set").alias("sh_b"),
+        F.col("simhash").alias("sim_b"),
+        F.col("norm_url").alias("nu_b"),
+    )
+    return (
+        candidates.join(fa, "url_a").join(fb, "url_b")
+        .withColumn("exact_match", F.col("fh_a") == F.col("fh_b"))
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .withColumn(
+            "hamming",
+            F.when(
+                F.col("sim_a").isNotNull() & F.col("sim_b").isNotNull(),
+                hamming(F.col("sim_a"), F.col("sim_b")),
+            ),
+        )
+        .withColumn("url_jw", jaro_winkler_udf(F.col("nu_a"), F.col("nu_b")))
+        .select(
+            "url_a", "url_b", "channels", "exact_match", "jaccard", "hamming", "url_jw"
+        )
+    )
+
+
+def verified_edges(scored: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Keep pairs passing any verification gate; emit schema.EDGES-shaped rows.
+
+    A quick-hash or LSH collision with low true similarity is dropped here —
+    the reference's false-positive elimination (tests/test_scanner.py:378-411)."""
+    keep = (
+        F.col("exact_match")
+        | (F.col("jaccard") >= F.lit(cfg.tau_jaccard))
+    )
+    return (
+        scored.filter(keep)
+        .select(
+            "url_a",
+            "url_b",
+            F.when(F.col("exact_match"), F.lit(1.0)).otherwise(F.col("jaccard")).alias("score"),
+            F.when(F.col("exact_match"), F.lit("exact")).otherwise(F.lit("minhash")).alias("channel"),
+        )
+    )

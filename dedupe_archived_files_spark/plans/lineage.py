@@ -1,0 +1,102 @@
+"""Checkpointed stages + per-partition lineage (north rule: every stage
+checkpoints with per-partition lineage rows so a killed run resumes from the
+last committed stage).
+
+Storage: parquet directories under cfg.checkpoint_dir with an atomic _COMMITTED
+marker per stage (Iceberg would give this via snapshots — its jars are not in
+this image, so the store is format-agnostic behind this module; swap
+`_write`/`_read` for `writeTo(...).append()` on a real deployment).
+
+Lineage rows mirror the reference's `archives` bookkeeping table
+(core/database.py:50-58: what was scanned, when, how many files) extended per
+FIXTURES.md §4 with block-key ranges and score histograms.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- stage data -----------------------------------------------------------
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _marker(self, stage: str) -> str:
+        return os.path.join(self.root, f"{stage}._COMMITTED")
+
+    def is_committed(self, stage: str) -> bool:
+        return os.path.exists(self._marker(stage))
+
+    def write_stage(self, stage: str, df: DataFrame, key_col: str | None = None) -> DataFrame:
+        """Write a stage output + lineage, atomically: data first, lineage
+        second, marker last. A crash between any two leaves the stage
+        uncommitted → rerun redoes the whole stage (idempotent overwrite)."""
+        path = self._dir(stage)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        self._write_lineage(stage, out, key_col)
+        with open(self._marker(stage), "w") as f:
+            json.dump({"stage": stage, "committed_at": time.time()}, f)
+        return out
+
+    def read_stage(self, stage: str) -> DataFrame:
+        if not self.is_committed(stage):
+            raise FileNotFoundError(f"stage '{stage}' is not committed")
+        return self.spark.read.parquet(self._dir(stage))
+
+    def resume_or_compute(self, stage: str, compute, key_col: str | None = None) -> DataFrame:
+        """The resume primitive: committed → read back (skip recompute,
+        reference J6 semantics); else compute, commit, return."""
+        if self.is_committed(stage):
+            return self.read_stage(stage)
+        return self.write_stage(stage, compute(), key_col)
+
+    # -- lineage --------------------------------------------------------------
+    def _write_lineage(self, stage: str, df: DataFrame, key_col: str | None) -> None:
+        key = F.col(key_col).cast("string") if key_col else F.lit(None).cast("string")
+        score = F.col("score") if "score" in df.columns else F.lit(None).cast("double")
+        lineage = (
+            df.select(
+                F.spark_partition_id().alias("partition_id"),
+                key.alias("k"),
+                score.alias("s"),
+            )
+            .groupBy("partition_id")
+            .agg(
+                F.min("k").alias("block_key_min"),
+                F.max("k").alias("block_key_max"),
+                F.count("*").alias("row_count"),
+                F.count("s").alias("pair_count"),
+                F.array(
+                    *[
+                        F.coalesce(
+                            F.sum(
+                                F.when(
+                                    F.least(F.floor(F.col("s") * 10), F.lit(9)) == i, 1
+                                ).otherwise(0)
+                            ),
+                            F.lit(0),
+                        ).cast("long")
+                        for i in range(10)
+                    ]
+                ).alias("score_histogram"),
+            )
+            .withColumn("stage", F.lit(stage))
+            .withColumn("snapshot_id", F.lit(int(time.time() * 1000)))
+            .withColumn("committed_at", F.current_timestamp())
+        )
+        lineage.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "_lineage"))

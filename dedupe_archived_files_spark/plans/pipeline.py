@@ -1,0 +1,161 @@
+"""The five-stage resolution pipeline (SURVEY.md §7.1):
+
+    pages ─extract→ pages_text ─block→ candidates ─score→ edges
+          ─cluster→ labels ─resolve→ clusters
+
+Design notes for 100 TB:
+* the exact channel NEVER generates pairs — identical content is grouped by
+  one hash-groupBy and contributes star edges (member → group-min), linear in
+  group size even for a million-copy viral page;
+* probabilistic channels (quick/url/LSH) generate pairs only inside capped
+  blocks (operators.blocking), then verify with exact Jaccard (reference
+  J2→J3 block-then-verify, core/scanner.py:366-387);
+* `html`/`text` columns are dropped before any shuffle-heavy stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedupe_archived_files_spark.config import PipelineConfig
+from dedupe_archived_files_spark.operators.blocking import (
+    block_keys,
+    candidate_pairs,
+    oversized_blocks,
+    with_signature,
+)
+from dedupe_archived_files_spark.operators.clustering import (
+    connected_components,
+    resolve_clusters,
+)
+from dedupe_archived_files_spark.operators.dedupe import exact_duplicate_clusters
+from dedupe_archived_files_spark.operators.extract import extract_pages
+from dedupe_archived_files_spark.operators.scoring import pair_features, verified_edges
+
+
+@dataclass
+class PipelineResult:
+    pages_text: DataFrame
+    candidates: DataFrame
+    scored: DataFrame
+    edges: DataFrame
+    labels: DataFrame
+    clusters: DataFrame
+    oversized: DataFrame
+
+
+def exact_star_edges(pages_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Exact-duplicate groups → star edges (member, group-min). Linear in
+    group size: no quadratic pair explosion on viral pages (SURVEY.md §7.1)."""
+    groups = exact_duplicate_clusters(pages_text, cfg)
+    return (
+        groups.select("canonical_url", F.explode("urls").alias("url"))
+        .filter(F.col("url") != F.col("canonical_url"))
+        .select(
+            F.col("canonical_url").alias("url_a"),
+            F.col("url").alias("url_b"),
+            F.lit(1.0).alias("score"),
+            F.lit("exact").alias("channel"),
+        )
+    )
+
+
+def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
+    cfg = (cfg or PipelineConfig()).validated()
+
+    pages_text = extract_pages(pages, cfg)
+    sig = with_signature(pages_text, cfg)
+
+    cand = candidate_pairs(sig, cfg)
+    scored = pair_features(sig, cand)
+    near_edges = verified_edges(scored, cfg)
+    exact_edges = exact_star_edges(pages_text, cfg)
+    # Materialize edges once: the CC loop and any downstream consumer would
+    # otherwise re-run extraction + blocking + scoring per action. On a real
+    # cluster this is the stage-boundary checkpoint (plans.lineage).
+    edges = (
+        near_edges.unionByName(exact_edges)
+        .dropDuplicates(["url_a", "url_b"])
+        .localCheckpoint(eager=False)
+    )
+
+    labels = connected_components(edges.select("url_a", "url_b"), cfg)
+    clusters = resolve_clusters(labels)
+    big = oversized_blocks(block_keys(sig, cfg), cfg)
+    return PipelineResult(
+        pages_text=pages_text,
+        candidates=cand,
+        scored=scored,
+        edges=edges,
+        labels=labels,
+        clusters=clusters,
+        oversized=big,
+    )
+
+
+def run_pipeline_checkpointed(
+    pages: DataFrame, checkpoint_root: str, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Resumable variant: each stage commits to the CheckpointStore; a rerun
+    skips every committed stage (reference J6 semantics — unchanged inputs are
+    not rescanned, core/scanner.py:119-134). Returns the clusters DataFrame.
+
+    Kill-safety contract (FIXTURES.md §4): stages are committed atomically
+    (data → lineage → marker); a rerun after a kill recomputes only the first
+    uncommitted stage onward and the final output is identical.
+    """
+    from dedupe_archived_files_spark.plans.lineage import CheckpointStore
+
+    cfg = (cfg or PipelineConfig()).validated()
+    store = CheckpointStore(pages.sparkSession, checkpoint_root)
+
+    pages_text = store.resume_or_compute(
+        "pages_text", lambda: extract_pages(pages, cfg), key_col="full_hash"
+    )
+
+    def _edges() -> DataFrame:
+        sig = with_signature(pages_text, cfg)
+        cand = candidate_pairs(sig, cfg)
+        near = verified_edges(pair_features(sig, cand), cfg)
+        return near.unionByName(exact_star_edges(pages_text, cfg)).dropDuplicates(
+            ["url_a", "url_b"]
+        )
+
+    edges = store.resume_or_compute("edges", _edges, key_col="url_a")
+    clusters = store.resume_or_compute(
+        "clusters",
+        lambda: resolve_clusters(connected_components(edges.select("url_a", "url_b"), cfg)),
+        key_col="cluster_id",
+    )
+    return clusters
+
+
+def evaluate_f1(labels: DataFrame, labeled_pairs: DataFrame) -> dict:
+    """Pairwise precision/recall/F1 on the labeled-pairs set: predicted dup
+    iff both urls land in the same component (urls absent from `labels` are
+    singletons). This is the BASELINE.json F1 gate."""
+    la = labels.select(F.col("url").alias("url_a"), F.col("component").alias("comp_a"))
+    lb = labels.select(F.col("url").alias("url_b"), F.col("component").alias("comp_b"))
+    joined = (
+        labeled_pairs.join(la, "url_a", "left")
+        .join(lb, "url_b", "left")
+        .withColumn(
+            "pred",
+            F.col("comp_a").isNotNull()
+            & F.col("comp_b").isNotNull()
+            & (F.col("comp_a") == F.col("comp_b")),
+        )
+    )
+    agg = joined.agg(
+        F.sum((F.col("pred") & F.col("is_dup")).cast("long")).alias("tp"),
+        F.sum((F.col("pred") & ~F.col("is_dup")).cast("long")).alias("fp"),
+        F.sum((~F.col("pred") & F.col("is_dup")).cast("long")).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = agg["tp"] or 0, agg["fp"] or 0, agg["fn"] or 0
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn, "precision": precision, "recall": recall, "f1": f1}

@@ -1,0 +1,508 @@
+"""Driver-contract query suite: every operator family from SURVEY.md §2 as a
+(spark, sf_dir) → DataFrame callable, each with a DuckDB-equivalent oracle in
+`__spark_entry__.oracle_sql`.
+
+Parity rules (the driver hash-compares values after sorting columns by name):
+* every computed column is aliased identically to the oracle SQL;
+* tokenization in oracle-checked queries is split-on-single-space (DuckDB
+  `string_split` has no regex) — the engine's own pipeline uses `\\s+`;
+* float outputs are rounded to 4 decimals on both sides;
+* counts/sizes are cast to long (DuckDB aggregates produce int64).
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401  (pandas_udf annotation resolution)
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dedupe_archived_files_spark.config import PipelineConfig
+from dedupe_archived_files_spark.functions.minhash import (
+    band_keys,
+    jaccard,
+    make_minhash_udf,
+)
+from dedupe_archived_files_spark.functions.simhash import (
+    BITS,
+    distinct_token_hashes,
+    hamming,
+    simhash_udf,
+)
+from dedupe_archived_files_spark.operators.clustering import connected_components
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _space_tokens(col):
+    """Split-on-space tokens of lowercased text (oracle-parity tokenizer)."""
+    return F.filter(F.split(F.lower(col), " ", -1), lambda t: t != F.lit(""))
+
+
+def _distinct_tokens(col):
+    return F.array_distinct(_space_tokens(col))
+
+
+# ---------------------------------------------------------------------------
+# Exact-duplicate family (reference J1/J2/J3/A1/A6)
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups_events(spark, sf_dir):
+    """J1+A1 on real repeated content: events.props groups sharing identical
+    bytes; canonical = min id (deterministic A6)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("props")
+        .agg(F.count("*").alias("n_copies"), F.min("event_id").alias("canonical_id"))
+        .filter(F.col("n_copies") >= 2)
+        .select(
+            F.md5(F.encode(F.col("props"), "UTF-8")).alias("content_hash"),
+            "n_copies",
+            "canonical_id",
+        )
+    )
+
+
+def exact_dup_clusters_documents(spark, sf_dir):
+    """Cluster decoration per doc: cluster id = min doc_id sharing md5(text)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.encode(F.col("text"), "UTF-8")))
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("cluster_id"),
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+    )
+
+
+def quick_block_verify_documents(spark, sf_dir):
+    """Two-tier block-then-verify (J2→J3) on real data: candidates collide on
+    the 32-char-prefix quick key; `verified` marks full-content equality —
+    false positives are visible, not silently matched."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.encode(F.substring("text", 1, 32), "UTF-8")).alias("quick_hash"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("full_hash"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(b, "quick_hash")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            (F.col("a.full_hash") == F.col("b.full_hash")).alias("verified"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate family (north rule: MinHash/LSH, SimHash, Jaccard)
+# ---------------------------------------------------------------------------
+
+TAU = 0.9
+
+
+def near_dup_jaccard_pairs(spark, sf_dir):
+    """Brute-force verification metric: same-lang doc pairs with distinct-token
+    Jaccard >= 0.9 (the oracle-equivalent baseline for the LSH path)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _distinct_tokens(F.col("text")).alias("toks")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+        / F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    )
+    return (
+        a.join(b, "lang")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= TAU)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round("jac", 4).alias("jac"),
+        )
+    )
+
+
+def minhash_lsh_near_dup(spark, sf_dir):
+    """The LSH-accelerated path: MinHash(128) over distinct-token hashes,
+    banded r=2/b=64 (catch prob at s=0.9: 1-(1-0.81)^64 ≈ 1-1e-46 — blocking
+    provably never drops a pair above tau), candidates verified with exact
+    Jaccard. Must equal the brute-force oracle — the reference's J2-superset
+    invariant, now probabilistic-with-proof."""
+    cfg = PipelineConfig(minhash_perms=128, lsh_bands=64)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _distinct_tokens(F.col("text")).alias("toks")
+    )
+    d = d.withColumn("tok_hashes", F.transform(F.col("toks"), lambda t: F.xxhash64(t)))
+    minhash = make_minhash_udf(cfg.minhash_perms)
+    sig = d.withColumn("signature", minhash(F.col("tok_hashes")))
+    bands = sig.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            band_keys(F.col("signature"), cfg.lsh_bands, cfg.lsh_rows_per_band)
+        ).alias("band_key"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["lang", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_id_a"), F.col("y.doc_id").alias("doc_id_b"), "lang")
+        .distinct()
+    )
+    feats = d.select("doc_id", "toks")
+    verified = (
+        cand.join(feats.select(F.col("doc_id").alias("doc_id_a"), F.col("toks").alias("ta")), "doc_id_a")
+        .join(feats.select(F.col("doc_id").alias("doc_id_b"), F.col("toks").alias("tb")), "doc_id_b")
+        .withColumn("jac", jaccard(F.col("ta"), F.col("tb")))
+        .filter(F.col("jac") >= TAU)
+    )
+    return verified.select("doc_id_a", "doc_id_b", F.round("jac", 4).alias("jac"))
+
+
+HAMMING_MAX = 10
+
+
+def simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup channel: 60-bit fingerprints (frozen md5-vote formula,
+    functions.simhash), pairs within the (lang, source) block at Hamming <= 10."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        simhash_udf(distinct_token_hashes(_space_tokens(F.col("text")))).alias("sh"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", hamming(F.col("a.sh"), F.col("b.sh")).cast("long"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            "hamming",
+        )
+    )
+
+
+def connected_components_docs(spark, sf_dir):
+    """Transitive clustering: edges = same-(lang,source) pairs at Jaccard >=
+    0.8; components via the engine's iterative large-star/small-star operator.
+    Oracle: recursive-CTE transitive closure — validates the distributed loop
+    against a declarative fixpoint."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", _distinct_tokens(F.col("text")).alias("toks")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+        / F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    )
+    edges = (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jac >= 0.8)
+        .select(F.col("a.doc_id").alias("url_a"), F.col("b.doc_id").alias("url_b"))
+    )
+    labels = connected_components(edges, PipelineConfig(max_iterations=12))
+    return labels.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "que"],
+}
+
+
+def lang_id_documents(spark, sf_dir):
+    """Marker-token language-ID heuristic with a deterministic argmax chain."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _space_tokens(F.col("text"))
+    d = d.withColumn("toks", toks)
+    def _score(words):
+        # closure factory: a two-arg lambda would make F.filter bind the
+        # second parameter to the element INDEX
+        return F.size(F.filter(F.col("toks"), lambda t: t.isin(words))).cast("long")
+
+    scores = {lang: _score(words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return d.select(
+        "doc_id",
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
+        best.alias("best_score"),
+    )
+
+
+def quality_scores_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_char = F.length("text")
+    toks = _space_tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    n_punct = F.length(F.regexp_replace("text", "[^.,;:!?]", ""))
+    return d.select(
+        "doc_id",
+        n_char.cast("long").alias("n_chars_calc"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(n_alpha / n_tok, 4).alias("avg_token_len"),
+        F.round(n_punct / n_char, 4).alias("punct_ratio"),
+        F.round(n_alpha / n_char, 4).alias("alpha_ratio"),
+    )
+
+
+def token_counts_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.size(_space_tokens(F.col("text")))
+    re_toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+", -1), lambda t: t != F.lit("")
+    )
+    return d.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        F.size(re_toks).cast("long").alias("re_tokens"),
+        F.size(F.array_distinct(re_toks)).cast("long").alias("distinct_tokens"),
+    )
+
+
+FP_K = 8   # fingerprint char-gram width
+FP_W = 4   # winnowing window
+
+
+def doc_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints: md5-derived hashes of 8-char grams,
+    min per 4-gram window, distinct mins = the fingerprint set. Emits count +
+    an order-insensitive checksum."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - F.lit(FP_K - 1))).alias("pos"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.encode(F.substring(F.col("text"), F.col("pos"), FP_K), "UTF-8")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, FP_W - 1)
+    mins = pos.select("doc_id", F.min("h").over(w).alias("mh"))
+    return mins.groupBy("doc_id").agg(
+        F.countDistinct("mh").cast("long").alias("n_fp"),
+        F.sum(F.col("mh") % F.lit(1_000_000_007)).cast("long").alias("fp_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational operator family (reference joins/aggs/sorts on TPC-H tables)
+# ---------------------------------------------------------------------------
+
+def semi_join_suppliers(spark, sf_dir):
+    """J2 shape: existence probe via left-semi join."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    return s.join(
+        li.select(F.col("l_suppkey").alias("s_suppkey")), "s_suppkey", "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def anti_join_customers(spark, sf_dir):
+    """J6 shape: inputs with no committed counterpart via left-anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def left_join_coalesce_default(spark, sf_dir):
+    """J4/J5 shape: left join a cache/decision table, default on miss."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("c_mktsegment"), F.lit("NONE")).alias("segment"),
+        )
+    )
+
+
+def last_writer_wins_events(spark, sf_dir):
+    """A6 deterministic: exactly one winner per key (max ts, id tie-break)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+def group_stats_documents(spark, sf_dir):
+    """A2/A3/A5: per-group counts and sums."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def union_dedup_docs(spark, sf_dir):
+    """O5/O6: set-union of two selections, deduplicated."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang") == "en").select("doc_id")
+        .union(d.filter(F.col("n_chars") > 300).select("doc_id"))
+        .distinct()
+    )
+
+
+def topk_chars_per_lang(spark, sf_dir):
+    """O1-O3: top-3 largest docs per lang (window + deterministic tie-break)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars"), F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def tumbling_window_counts(spark, sf_dir):
+    """Time-windowed rollup (streaming-shaped agg run in batch; the streaming
+    module runs the same plan via readStream)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity (ANN family)
+# ---------------------------------------------------------------------------
+
+N_QUERIES = 20
+TOP_K = 5
+
+
+def embedding_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k: the correctness baseline for ANN. Distances
+    JVM-side via zip_with/aggregate folds (no Python in the O(n·q) hot loop)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    e = e.withColumn("nrm", norm)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sims = (
+        q.crossJoin(e.select(F.col("vec_id").alias("neighbor_id"), "v", F.col("nrm").alias("nn")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", dot / (F.col("qn") * F.col("nn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.col("rk").cast("long").alias("rk"), F.round("sim", 4).alias("sim"))
+    )
+
+
+def embedding_ann_lsh(spark, sf_dir):
+    """Scale path: random-hyperplane LSH — 16-bit signs of projections onto
+    deterministic pseudo-random hyperplanes; candidates share a 8-bit prefix
+    bucket; exact cosine re-ranked within buckets. Rows-only check (the
+    hyperplane constants are engine-internal)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    planes = rng.randn(16, 64).astype("float64")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket_udf(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            a = np.asarray(v, dtype=np.float64)
+            bits = (planes[:8] @ a) > 0
+            out.append(int((bits * (1 << np.arange(8))).sum()))
+        return pd.Series(out, dtype="int32")
+
+    b = e.withColumn("bucket", bucket_udf("v"))
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    b = b.withColumn("nrm", norm)
+    x = b.alias("x")
+    y = b.alias("y")
+    dot = F.aggregate(
+        F.zip_with(F.col("x.v"), F.col("y.v"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    )
+    sims = (
+        x.join(y, "bucket")
+        .filter(F.col("x.vec_id") != F.col("y.vec_id"))
+        .withColumn("sim", dot / (F.col("x.nrm") * F.col("y.nrm")))
+    )
+    w = Window.partitionBy(F.col("x.vec_id")).orderBy(F.col("sim").desc(), F.col("y.vec_id").asc())
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            F.col("x.vec_id").alias("query_id"),
+            F.col("y.vec_id").alias("neighbor_id"),
+            F.col("rk").cast("long").alias("rk"),
+            F.round("sim", 4).alias("sim"),
+        )
+    )
+
+
+def multimodal_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: treat content as opaque binary + typed metadata
+    (byte length, content hash, format sniff). Real decode is stubbed
+    (functions.multimodal) — the schema/UDF plumbing is the tested part."""
+    d = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5(blob).alias("content_md5"),
+        F.col("text").startswith("<").alias("looks_html"),
+    )

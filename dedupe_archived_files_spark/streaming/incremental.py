@@ -1,0 +1,80 @@
+"""Structured-Streaming front door for incremental ingest.
+
+The reference's incremental behavior is batch-resume (skip unchanged inputs on
+re-run, core/scanner.py:119-134) — SURVEY.md §2.5 notes there are NO streaming
+operators to port. This module is therefore the *extension* for continuous
+ingest: new page files landing in a directory are micro-batched through the
+same extract stage, and `foreachBatch` applies the same J6 anti-join +
+checkpointed append used by the batch pipeline (one code path, two drivers).
+
+Watermark + tumbling-window duplicate-rate monitoring comes for free on the
+same stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_archived_files_spark import schema as S
+from dedupe_archived_files_spark.config import PipelineConfig
+from dedupe_archived_files_spark.operators.extract import extract_pages
+
+
+def stream_pages(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of page rows (schema enforced, never inferred)."""
+    return spark.readStream.schema(S.PAGES).parquet(path)
+
+
+def stream_extract(pages_stream: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """The batch extract stage applied to a micro-batch stream — identical
+    semantics, identical code (operators.extract)."""
+    return extract_pages(pages_stream, cfg or PipelineConfig())
+
+
+def duplicate_rate_per_window(pages_text_stream: DataFrame) -> DataFrame:
+    """Windowed monitoring aggregate: per 1-hour crawl window, pages seen and
+    distinct contents (approx) — the live duplicate-rate signal. Watermarked
+    so state is bounded under late data."""
+    return (
+        pages_text_stream.withWatermark("warc_ts", "2 hours")
+        .groupBy(F.window("warc_ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.approx_count_distinct("full_hash").alias("approx_distinct"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "n_pages",
+            "approx_distinct",
+        )
+    )
+
+
+def start_incremental_append(
+    pages_stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+):
+    """foreachBatch sink: each micro-batch is extracted and appended exactly
+    once (checkpoint = exactly-once file sink), after a J6-style anti-join
+    against what the target already holds."""
+    cfg = cfg or PipelineConfig()
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        extracted = extract_pages(batch, cfg)
+        try:
+            existing = spark.read.parquet(target_dir).select("url", "warc_ts")
+            fresh = extracted.join(existing, ["url", "warc_ts"], "left_anti")
+        except Exception:  # noqa: BLE001 - first batch: target doesn't exist yet
+            fresh = extracted
+        fresh.write.mode("append").parquet(target_dir)
+
+    return (
+        pages_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

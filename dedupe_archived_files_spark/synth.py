@@ -154,8 +154,11 @@ def generate_corpus(seed: int = 42, n_base: int = 200, hot_key_rows: int = 120) 
 
     # -- quick-hash-collision pair: identical first 8 KiB, different tail —
     #    must NOT match (reference tests/test_scanner.py:378-411) -------------
-    prefix = _body(rng, 2500)  # > 8192 bytes of text
-    for tag, tail in (("x", "tail one " + _body(rng, 50)), ("y", "tail two " + _body(rng, 50))):
+    # prefix > 8192 bytes of extracted text (quick hashes collide); tails are
+    # ~38% of the document so shingle Jaccard lands well below tau — the pair
+    # must fail BOTH exact verification and near-dup verification.
+    prefix = _body(rng, 2500)
+    for tag, tail in (("x", "tail one " + _body(rng, 1500)), ("y", "tail two " + _body(rng, 1500))):
         c.add_page(
             f"https://bigfile.example.com/quickcollide/{tag}",
             _html("quick collide", prefix + " " + tail), None, "en", 4000,
@@ -168,8 +171,11 @@ def generate_corpus(seed: int = 42, n_base: int = 200, hot_key_rows: int = 120) 
 
     # -- large pages straddling the 1 MiB quick-hash threshold
     #    (reference tests/test_extensive.py:369-417) ---------------------------
-    big_unit = _body(rng, 40000)  # ~0.25 MiB of text
+    # each size gets its OWN unit: repeating one unit across sizes would make
+    # the shingle SETS identical and the near-dup channel would (correctly)
+    # merge all sizes into one cluster
     for mult, tag in [(2, "half"), (4, "at"), (8, "twice")]:
+        big_unit = _body(rng, 40000)  # ~0.25 MiB of text
         body = " ".join([big_unit] * mult)
         html = _html(f"big {tag}", body)
         c.add_page(f"https://big.example.com/{tag}/a", html, None, "en", 4100)
