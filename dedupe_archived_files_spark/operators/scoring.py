@@ -67,9 +67,9 @@ def pair_features(pages_sig: DataFrame, candidates: DataFrame) -> DataFrame:
                 hamming(F.col("sim_a"), F.col("sim_b")),
             ),
         )
-        .withColumn("url_jw", jaro_winkler_udf(F.col("nu_a"), F.col("nu_b")))
         .select(
-            "url_a", "url_b", "channels", "exact_match", "jaccard", "hamming", "url_jw"
+            "url_a", "url_b", "channels", "exact_match", "jaccard", "hamming",
+            "nu_a", "nu_b",
         )
     )
 
@@ -83,12 +83,17 @@ def verified_edges(scored: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.col("exact_match")
         | (F.col("jaccard") >= F.lit(cfg.tau_jaccard))
     )
+    # Jaro-Winkler (row-at-a-time Python inside an Arrow batch) runs ONLY on
+    # verified edges — never on the full candidate set. It is a reported
+    # feature, not a gate, so this is free precision at ~0 cost.
     return (
         scored.filter(keep)
+        .withColumn("url_jw", jaro_winkler_udf(F.col("nu_a"), F.col("nu_b")))
         .select(
             "url_a",
             "url_b",
             F.when(F.col("exact_match"), F.lit(1.0)).otherwise(F.col("jaccard")).alias("score"),
             F.when(F.col("exact_match"), F.lit("exact")).otherwise(F.lit("minhash")).alias("channel"),
+            "url_jw",
         )
     )

@@ -77,7 +77,8 @@ def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> Pipelin
     # otherwise re-run extraction + blocking + scoring per action. On a real
     # cluster this is the stage-boundary checkpoint (plans.lineage).
     edges = (
-        near_edges.unionByName(exact_edges)
+        near_edges.select("url_a", "url_b", "score", "channel")
+        .unionByName(exact_edges)
         .dropDuplicates(["url_a", "url_b"])
         .localCheckpoint(eager=False)
     )
@@ -119,7 +120,9 @@ def run_pipeline_checkpointed(
     def _edges() -> DataFrame:
         sig = with_signature(pages_text, cfg)
         cand = candidate_pairs(sig, cfg)
-        near = verified_edges(pair_features(sig, cand), cfg)
+        near = verified_edges(pair_features(sig, cand), cfg).select(
+            "url_a", "url_b", "score", "channel"
+        )
         return near.unionByName(exact_star_edges(pages_text, cfg)).dropDuplicates(
             ["url_a", "url_b"]
         )

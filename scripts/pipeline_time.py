@@ -1,0 +1,60 @@
+"""Time the end-to-end dedupe pipeline at a given parallelism level.
+
+Usage: python scripts/pipeline_time.py <cores> [sf_dir] [runs]
+Prints one JSON line: {"cores": N, "secs": S, "n_pages": P, "pages_per_sec": R}
+
+One process per parallelism level: a SparkSession's master is fixed per JVM,
+so the scaling comparison (local[8] vs local[32]) must fork.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import docs_as_pages, force  # noqa: E402
+from dedupe_archived_files_spark.config import PipelineConfig  # noqa: E402
+from dedupe_archived_files_spark.plans.pipeline import run_pipeline  # noqa: E402
+from dedupe_archived_files_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+    spark = get_spark(
+        app_name=f"scaling_{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+    )
+    pages = docs_as_pages(spark, sf_dir)
+    n_pages = pages.count()
+    cfg = PipelineConfig(tau_jaccard=0.9)
+
+    # warm-up run (JIT/codegen/Arrow init), then timed runs; report the best
+    # (steady-state throughput, the quantity that scales with cores)
+    force(run_pipeline(pages, cfg).clusters)
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        force(run_pipeline(pages, cfg).clusters)
+        best = min(best, time.time() - t0)
+
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "secs": round(best, 3),
+                "n_pages": n_pages,
+                "pages_per_sec": round(n_pages / best, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
