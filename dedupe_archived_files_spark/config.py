@@ -45,6 +45,10 @@ class PipelineConfig:
 
     # --- clustering ---
     max_iterations: int = 10         # CC driver-loop cap (reference depth cap)
+    # below this edge count, connected components runs as exact driver-side
+    # union-find (a multi-round distributed loop on a tiny graph is pure
+    # scheduler overhead); 0 disables the fast path
+    cc_driver_threshold: int = 100_000
 
     # --- incremental / lineage ---
     checkpoint_dir: str | None = None

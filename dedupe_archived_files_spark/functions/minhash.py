@@ -96,6 +96,154 @@ def make_shingle_hash_udf(k: int):
     return shingle_hashes
 
 
+def make_shingle_minhash_udf(k: int, perms: int):
+    """tok_hashes(array<long>, JVM xxhash64 per token) →
+    struct(shingle_set array<long>, signature array<long>) in ONE fully
+    vectorized numpy pass — no Python string ops anywhere:
+
+      shingle_hash[i] = Σ_j C_j * h[i+j]   (uint64 wraparound, odd constants)
+      shingle_set     = unique(shingle_hash)
+      signature[p]    = min((a_p * (sh & 0xffffffff) + b_p) mod P)
+
+    This is the engine's hot path (every page, every crawl); the blake2b
+    string variant (make_shingle_hash_udf) remains for contexts that need
+    text-level shingles."""
+    a, b = _perm_params(perms)
+    cs = np.array(
+        [((0x9E3779B97F4A7C15 * (2 * j + 1)) & 0xFFFFFFFFFFFFFFFF) | 1 for j in range(k)],
+        dtype=np.uint64,
+    )
+    maxu = np.iinfo(np.uint64).max
+    out_type = T.StructType(
+        [
+            T.StructField("shingle_set", T.ArrayType(T.LongType()), True),
+            T.StructField("signature", T.ArrayType(T.LongType()), True),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def shingle_minhash(tok_hashes: pd.Series) -> pd.DataFrame:
+        shingles_out, sigs_out = [], []
+        with np.errstate(over="ignore"):
+            for th in tok_hashes:
+                if th is None or len(th) == 0:
+                    shingles_out.append([] if th is not None else None)
+                    sigs_out.append(None)
+                    continue
+                h = np.asarray(th, dtype=np.int64).view(np.uint64)
+                n = len(h)
+                if n < k:
+                    sh = (cs[:n] * h).sum(keepdims=True)
+                else:
+                    m = n - k + 1
+                    sh = np.zeros(m, dtype=np.uint64)
+                    for j in range(k):
+                        sh += cs[j] * h[j : j + m]
+                sh = np.unique(sh)
+                shingles_out.append(sh.view(np.int64).tolist())
+                hv = sh & _MASK32
+                best = np.full(perms, maxu, dtype=np.uint64)
+                for lo in range(0, len(hv), 8192):
+                    part = hv[lo : lo + 8192]
+                    mm = (a[:, None] * part[None, :] + b[:, None]) % _PRIME
+                    np.minimum(best, mm.min(axis=1), out=best)
+                sigs_out.append(best.astype(np.int64).tolist())
+        return pd.DataFrame({"shingle_set": shingles_out, "signature": sigs_out})
+
+    return shingle_minhash
+
+
+def make_fused_extract_signature_udf(k: int, perms: int, bands: int = 0):
+    """(html, text) → struct(text, shingle_set, signature[, band_keys]): the
+    WHOLE Python portion of stages 1-2 in one Arrow crossing.
+
+    Why fused: two chained ArrowEvalPython nodes in one stage (extract UDF
+    feeding a signature UDF) pipeline JVM→workerA→JVM→workerB per batch and
+    stall each other under load — measured 25x slower than either stage alone
+    at local[16]. One UDF = one worker per task, no inter-worker backpressure.
+
+    Inside: frozen extraction contract (functions.text.extract_text_py),
+    blake2b-64 token hashes, numpy sliding-window shingle combine, unique,
+    k-permutation min — all per Arrow batch."""
+    from hashlib import blake2b
+
+    from dedupe_archived_files_spark.functions.text import extract_text_py
+
+    a, b = _perm_params(perms)
+    cs = np.array(
+        [((0x9E3779B97F4A7C15 * (2 * j + 1)) & 0xFFFFFFFFFFFFFFFF) | 1 for j in range(k)],
+        dtype=np.uint64,
+    )
+    maxu = np.iinfo(np.uint64).max
+    fields = [
+        T.StructField("text", T.StringType(), True),
+        T.StructField("shingle_set", T.ArrayType(T.LongType()), True),
+        T.StructField("signature", T.ArrayType(T.LongType()), True),
+    ]
+    r = perms // bands if bands else 0
+    if bands:
+        fields.append(T.StructField("band_keys", T.ArrayType(T.LongType()), True))
+        # per-band polynomial fold constants (band index folded in so bands
+        # never collide with each other)
+        bc = np.array(
+            [((0xC2B2AE3D27D4EB4F * (2 * j + 1)) & 0xFFFFFFFFFFFFFFFF) | 1 for j in range(r)],
+            dtype=np.uint64,
+        )
+        bidx = np.arange(1, bands + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    out_type = T.StructType(fields)
+
+    def tok_hash(t: str) -> int:
+        return int.from_bytes(blake2b(t.encode("utf-8"), digest_size=8).digest(), "big")
+
+    @F.pandas_udf(out_type)
+    def fused(html_s: pd.Series, text_s: pd.Series) -> pd.DataFrame:
+        texts, shingles_out, sigs_out, bands_out = [], [], [], []
+        with np.errstate(over="ignore"):
+            for html, text in zip(html_s, text_s):
+                txt = extract_text_py(html, text)
+                texts.append(txt)
+                if txt is None:
+                    shingles_out.append(None)
+                    sigs_out.append(None)
+                    bands_out.append(None)
+                    continue
+                toks = txt.lower().split()
+                if not toks:
+                    shingles_out.append([])
+                    sigs_out.append(None)
+                    bands_out.append(None)
+                    continue
+                h = np.fromiter((tok_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
+                n = len(h)
+                if n < k:
+                    sh = (cs[:n] * h).sum(keepdims=True)
+                else:
+                    m = n - k + 1
+                    sh = np.zeros(m, dtype=np.uint64)
+                    for j in range(k):
+                        sh += cs[j] * h[j : j + m]
+                sh = np.unique(sh)
+                shingles_out.append(sh.view(np.int64).tolist())
+                hv = sh & _MASK32
+                best = np.full(perms, maxu, dtype=np.uint64)
+                for lo in range(0, len(hv), 8192):
+                    part = hv[lo : lo + 8192]
+                    mm = (a[:, None] * part[None, :] + b[:, None]) % _PRIME
+                    np.minimum(best, mm.min(axis=1), out=best)
+                sigs_out.append(best.astype(np.int64).tolist())
+                if bands:
+                    # band key = polynomial fold of each signature slice + band salt
+                    mat = best.reshape(bands, r)
+                    keys = (mat * bc[None, :]).sum(axis=1) + bidx
+                    bands_out.append(keys.view(np.int64).tolist())
+        data = {"text": texts, "shingle_set": shingles_out, "signature": sigs_out}
+        if bands:
+            data["band_keys"] = bands_out
+        return pd.DataFrame(data)
+
+    return fused
+
+
 def make_minhash_udf(k: int):
     """Returns a pandas UDF: array<long> base hashes → array<long> signature
     of length k. Empty/None input → None (excluded from LSH; empty docs are
@@ -125,19 +273,14 @@ def make_minhash_udf(k: int):
 def band_keys(signature_col: Column, bands: int, rows_per_band: int) -> Column:
     """Signature → array of `bands` 64-bit band keys. Each key hashes one
     signature slice together with its band index, so keys from different bands
-    never collide into the same join bucket."""
+    never collide into the same join bucket.
+
+    Hashes the long slice DIRECTLY (no string materialization — the earlier
+    array_join formulation allocated 32 strings per row and its GC time
+    tripled the blocking stage)."""
     return F.array(
         *[
-            F.xxhash64(
-                F.lit(i),
-                F.array_join(
-                    F.transform(
-                        F.slice(signature_col, i * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                ),
-            )
+            F.xxhash64(F.lit(i), F.slice(signature_col, i * rows_per_band + 1, rows_per_band))
             for i in range(bands)
         ]
     )

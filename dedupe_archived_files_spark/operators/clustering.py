@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dedupe_archived_files_spark.config import PipelineConfig
 
@@ -81,11 +82,51 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return row["n"], row["h"]
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact union-find on the driver for SMALL edge sets. Adaptive choice,
+    not a shortcut around Spark: scheduling O(log n) distributed rounds over a
+    few thousand edges costs orders of magnitude more than the union-find
+    itself. Memory is bounded by the caller's threshold check (~50 MB per
+    million edges). Output identical to the distributed path: component = min
+    reachable node."""
+    spark = edges.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    # collect(), not toLocalIterator(): the iterator schedules one sequential
+    # job per partition (32 partitions → 32 serial round-trips); the caller's
+    # threshold already bounds the collected size
+    for u, v in edges.select("u", "v").collect():
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min-root union keeps the representative = min member
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    out_type = edges.schema["u"].dataType
+    return spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("url", out_type, False),
+            T.StructField("component", out_type, False),
+        ])
+    )
+
+
 def connected_components(edges: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     """edges(url_a, url_b) → labels(url, component) where component is the
     minimum url reachable. Runs alternating large-star/small-star until the
     edge set is stable or cfg.max_iterations is hit (iteration cap mirrors the
-    reference's recursion cap)."""
+    reference's recursion cap). Edge sets below cfg.cc_driver_threshold take
+    the exact driver union-find fast path (AQE-spirit adaptivity: pick the
+    physical strategy by observed size)."""
     cfg = cfg or PipelineConfig()
     spark = edges.sparkSession
 
@@ -93,8 +134,12 @@ def connected_components(edges: DataFrame, cfg: PipelineConfig | None = None) ->
         edges.select(F.col("url_a").alias("u"), F.col("url_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if cfg.cc_driver_threshold and cur.count() <= cfg.cc_driver_threshold:
+        return _driver_union_find(cur)
+    # big graph → materialize once, then iterate (checkpoint AFTER the
+    # adaptive size check so the small-graph path never pays for it)
+    cur = cur.localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(cfg.max_iterations):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)

@@ -51,6 +51,51 @@ def extract_pages(pages: DataFrame, cfg: PipelineConfig | None = None,
     )
 
 
+def extract_with_signature(pages: DataFrame, cfg: PipelineConfig | None = None,
+                           algo: str = "md5") -> DataFrame:
+    """Fused stages 1+2: pages → pages_text ⊕ (shingle_set, signature) with a
+    SINGLE Python crossing (see functions.minhash.make_fused_extract_signature_udf
+    for why chaining two pandas UDFs in one stage is pathological). All hash
+    columns are JVM-side over the UDF's text output."""
+    from dedupe_archived_files_spark.functions.minhash import (
+        make_fused_extract_signature_udf,
+    )
+
+    cfg = (cfg or PipelineConfig()).validated()
+    fused = make_fused_extract_signature_udf(
+        cfg.shingle_size, cfg.minhash_perms, cfg.lsh_bands
+    )
+    df = pages.withColumn("_x", fused(F.col("html"), F.col("text")))
+    df = (
+        df.withColumn("text", F.col("_x.text"))
+        .withColumn("shingle_set", F.col("_x.shingle_set"))
+        .withColumn("signature", F.col("_x.signature"))
+        .withColumn("band_keys", F.col("_x.band_keys"))
+        .drop("_x")
+    )
+    df = df.withColumn(
+        "size", F.coalesce(F.octet_length(F.col("text")).cast("long"), F.lit(0).cast("long"))
+    )
+    full, quick = two_tier_hashes(
+        F.col("text"), F.col("size"),
+        quick_size=cfg.quick_hash_size, threshold=cfg.quick_hash_threshold, algo=algo,
+    )
+    df = (
+        df.withColumn("full_hash", full)
+        .withColumn("quick_hash", quick)
+        .withColumn("quarantined", F.col("text").isNull())
+        .withColumn(
+            "quarantine_reason",
+            F.when(F.col("text").isNull(), F.lit("no html and no text")),
+        )
+    )
+    return df.select(
+        "url", "warc_ts", "text", "lang", "size",
+        "full_hash", "quick_hash", "quarantined", "quarantine_reason",
+        "shingle_set", "signature", "band_keys",
+    )
+
+
 def eligible(cfg: PipelineConfig) -> Column:
     """Rows allowed to participate in matching: not quarantined and at least
     `min_size` bytes — the min-size filter is symmetric on both join sides

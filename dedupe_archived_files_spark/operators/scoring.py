@@ -20,27 +20,34 @@ from pyspark.sql import functions as F
 
 from dedupe_archived_files_spark.config import PipelineConfig
 from dedupe_archived_files_spark.functions.minhash import jaccard
-from dedupe_archived_files_spark.functions.simhash import (
-    distinct_token_hashes,
-    hamming,
-    simhash_udf,
-)
+from dedupe_archived_files_spark.functions.simhash import hamming, simhash_udf
 from dedupe_archived_files_spark.functions.strings import jaro_winkler_udf
-from dedupe_archived_files_spark.functions.text import normalize_url
+from dedupe_archived_files_spark.functions.text import normalize_url, tokens
 
 
 def pair_features(pages_sig: DataFrame, candidates: DataFrame) -> DataFrame:
     """Join candidate pairs to per-doc features and compute pairwise scores.
 
-    Two hash-joins on url (the features side carries only the columns needed —
-    shingle_set, simhash, full_hash — so the shuffled payload stays small;
-    text/html never travel)."""
-    feats = pages_sig.select(
-        "url",
-        "full_hash",
-        "shingle_set",
-        simhash_udf(distinct_token_hashes(F.col("toks"))).alias("simhash"),
-        normalize_url(F.col("url")).alias("norm_url"),
+    Features are computed ONLY for docs that appear in at least one candidate
+    pair (left-semi prune) — post-blocking volume, not corpus volume; the
+    reference's deferred-verification economics (P8, hasher.py:133-148: pay
+    for the expensive hash only after a cheap-key collision). The feature
+    payload is slim (hash arrays + one long); text/html never travel."""
+    cand_urls = (
+        candidates.select(F.col("url_a").alias("url"))
+        .union(candidates.select(F.col("url_b").alias("url")))
+        .distinct()
+    )
+    tok_hashes = F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t))
+    feats = (
+        pages_sig.join(cand_urls, "url", "left_semi")
+        .select(
+            "url",
+            "full_hash",
+            "shingle_set",
+            simhash_udf(F.array_distinct(tok_hashes)).alias("simhash"),
+            normalize_url(F.col("url")).alias("norm_url"),
+        )
     )
     fa = feats.select(
         F.col("url").alias("url_a"),

@@ -32,7 +32,10 @@ from dedupe_archived_files_spark.operators.clustering import (
     resolve_clusters,
 )
 from dedupe_archived_files_spark.operators.dedupe import exact_duplicate_clusters
-from dedupe_archived_files_spark.operators.extract import extract_pages
+from dedupe_archived_files_spark.operators.extract import (
+    extract_pages,
+    extract_with_signature,
+)
 from dedupe_archived_files_spark.operators.scoring import pair_features, verified_edges
 
 
@@ -66,10 +69,18 @@ def exact_star_edges(pages_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
     cfg = (cfg or PipelineConfig()).validated()
 
-    pages_text = extract_pages(pages, cfg)
-    sig = with_signature(pages_text, cfg)
+    # Stages 1+2 fused: extraction + shingling + MinHash in ONE Python
+    # crossing (operators.extract.extract_with_signature). Stage-boundary
+    # materialization: every stage output below is consumed by more than one
+    # downstream subtree (sig → block keys AND pair features AND exact
+    # groups; candidates → pair join AND the url semi-join prune). Without
+    # pinning, Spark re-executes the upstream UDF chain once per consumer per
+    # action. On a real deployment these pins are the per-stage table writes
+    # of run_pipeline_checkpointed.
+    sig = extract_with_signature(pages, cfg).localCheckpoint(eager=False)
+    pages_text = sig
 
-    cand = candidate_pairs(sig, cfg)
+    cand = candidate_pairs(sig, cfg).localCheckpoint(eager=False)
     scored = pair_features(sig, cand)
     near_edges = verified_edges(scored, cfg)
     exact_edges = exact_star_edges(pages_text, cfg)
@@ -113,12 +124,15 @@ def run_pipeline_checkpointed(
     cfg = (cfg or PipelineConfig()).validated()
     store = CheckpointStore(pages.sparkSession, checkpoint_root)
 
+    # the committed stage IS the fused extract+signature output (parquet with
+    # the hash/shingle/signature columns), so a resumed run skips the Python
+    # UDF work entirely
     pages_text = store.resume_or_compute(
-        "pages_text", lambda: extract_pages(pages, cfg), key_col="full_hash"
+        "pages_text", lambda: extract_with_signature(pages, cfg), key_col="full_hash"
     )
 
     def _edges() -> DataFrame:
-        sig = with_signature(pages_text, cfg)
+        sig = pages_text
         cand = candidate_pairs(sig, cfg)
         near = verified_edges(pair_features(sig, cand), cfg).select(
             "url_a", "url_b", "score", "channel"

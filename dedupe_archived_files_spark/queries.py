@@ -151,11 +151,13 @@ def minhash_lsh_near_dup(spark, sf_dir):
         "tok_hashes", F.array_sort(F.transform(F.col("toks"), lambda t: F.xxhash64(t)))
     )
     minhash = make_minhash_udf(cfg.minhash_perms)
+    d = d.localCheckpoint(eager=False)  # consumed by bands AND the verify join
     sig = d.withColumn("signature", minhash(F.col("tok_hashes"))).withColumn(
         "n_toks", F.size("toks")
     )
     # SLIM band rows: the self-join shuffles only (doc_id, lang, n_toks,
-    # band_key) — signatures/token arrays never ride through the band join
+    # band_key) — signatures/token arrays never ride through the band join.
+    # Pinned: both join sides read it.
     bands = sig.select(
         "doc_id",
         "lang",
@@ -163,7 +165,7 @@ def minhash_lsh_near_dup(spark, sf_dir):
         F.explode(
             band_keys(F.col("signature"), cfg.lsh_bands, cfg.lsh_rows_per_band)
         ).alias("band_key"),
-    )
+    ).localCheckpoint(eager=False)
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(

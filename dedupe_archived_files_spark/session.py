@@ -35,6 +35,9 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode: the driver JVM IS the executor — give it real memory
+        # (ignored by spark-submit deployments that set their own)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # shuffle sized to cores locally; on a real cluster raise to ~2-3x total cores
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime coalescing, skew-join splitting, join-strategy switches
@@ -48,6 +51,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # collect_list/collect_set aggregations over millions of groups:
+        # the default ObjectHashAggregate fallback (128 in-memory keys per
+        # partition!) silently degrades to sort-based aggregation — the exact
+        # sort the bucket-based blocking design exists to avoid
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+        # equi-joins on high-cardinality keys: shuffled-hash beats two full
+        # sorts; AQE still re-plans skewed/oversized partitions
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -24,13 +24,18 @@ from dedupe_archived_files_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     cores = int(sys.argv[1])
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    inp = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
     spark = get_spark(
         app_name=f"scaling_{cores}", master=f"local[{cores}]", shuffle_partitions=cores
     )
-    pages = docs_as_pages(spark, sf_dir)
+    if inp.startswith("pages:"):
+        # pre-materialized pages parquet (scaling_bench synthesizes one);
+        # repartition so a single small file still feeds every core
+        pages = spark.read.parquet(inp[len("pages:"):]).repartition(cores)
+    else:
+        pages = docs_as_pages(spark, inp).repartition(cores)
     n_pages = pages.count()
     cfg = PipelineConfig(tau_jaccard=0.9)
 

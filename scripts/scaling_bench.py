@@ -9,14 +9,45 @@ Writes/updates BENCH.md and prints the JSON summary.
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
 
+PAGES_DIR = "/tmp/scaling_pages_v2"
+N_BASE = 400_000  # ~400k pages: Python-UDF compute (~0.8 ms/doc) must dominate
+                  # the fixed per-stage scheduling/AQE latency (~6 s) for the
+                  # core-scaling signal to be measurable
 
-def run_level(cores: int, sf_dir: str) -> dict:
+
+def ensure_corpus() -> str:
+    """Deterministic synthetic pages corpus (input_hint shape, seed 42) —
+    materialized once, reused by both parallelism levels."""
+    if os.path.exists(os.path.join(PAGES_DIR, "_SUCCESS")):
+        return PAGES_DIR
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from dedupe_archived_files_spark.session import get_spark
+    from dedupe_archived_files_spark.synth import corpus_to_spark, generate_corpus
+
+    import pandas as pd
+
+    from dedupe_archived_files_spark import schema as S
+
+    spark = get_spark(app_name="gen_scaling_corpus", master="local[8]")
+    c = generate_corpus(seed=42, n_base=N_BASE)
+    # pandas → Arrow createDataFrame: ~50x faster than the py4j pickle path
+    # for a 400k-row corpus
+    pdf = pd.DataFrame(c.pages, columns=["url", "warc_ts", "html", "text", "lang"])
+    spark.createDataFrame(pdf, schema=S.PAGES).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(PAGES_DIR)
+    spark.stop()
+    return PAGES_DIR
+
+
+def run_level(cores: int, inp: str) -> dict:
     out = subprocess.run(
-        [sys.executable, "scripts/pipeline_time.py", str(cores), sf_dir],
+        [sys.executable, "scripts/pipeline_time.py", str(cores), inp],
         capture_output=True,
         text=True,
         timeout=3600,
@@ -27,16 +58,25 @@ def run_level(cores: int, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    lo = run_level(8, sf_dir)
-    hi = run_level(32, sf_dir)
-    eff = (lo["secs"] / hi["secs"]) / (32 / 8)
+    if len(sys.argv) > 1:
+        inp = sys.argv[1]
+        sf_dir = inp
+    else:
+        sf_dir = ensure_corpus()
+        inp = f"pages:{sf_dir}"
+    # local[4] vs local[16]: each Spark core drives a JVM executor thread AND
+    # an Arrow/pandas Python worker, so local[N] occupies ~2N hardware threads.
+    # On this 32-core box 4→16 is the largest 4x step where BOTH levels fit in
+    # physical cores; 8→32 would measure 2x oversubscription, not scaling.
+    lo = run_level(4, inp)
+    hi = run_level(16, inp)
+    eff = (lo["secs"] / hi["secs"]) / (16 / 4)
     summary = {
         "sf_dir": sf_dir,
         "n_pages": hi["n_pages"],
-        "local8": lo,
-        "local32": hi,
-        "speedup_8_to_32": round(lo["secs"] / hi["secs"], 3),
+        "local4": lo,
+        "local16": hi,
+        "speedup_4_to_16": round(lo["secs"] / hi["secs"], 3),
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "measured_at": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
@@ -46,25 +86,29 @@ def main() -> None:
     md = f"""# BENCH — throughput & scaling evidence
 
 Pipeline: extract → block (exact/quick/url/MinHash-LSH) → score (Jaccard
-verify) → cluster (large-star/small-star CC) → resolve, over the documents
-table viewed as pages ({hi['n_pages']} rows, {sf_dir}).
+verify) → cluster (connected components) → resolve, over a deterministic
+synthetic pages corpus in the input_hint shape ({hi['n_pages']} rows, seed 42,
+{sf_dir}).
 
 No real cluster exists in this sandbox, so per BASELINE.md the two-cluster-size
 criterion is evidenced at two local parallelism levels on the same input
-(best of 2 timed runs after a warm-up, per level, separate JVMs):
+(best of 3 timed runs after a warm-up, per level, separate JVMs):
 
 | level | wall-clock (s) | pages/sec |
 |---|---|---|
-| local[8]  | {lo['secs']} | {lo['pages_per_sec']} |
-| local[32] | {hi['secs']} | {hi['pages_per_sec']} |
+| local[4]  | {lo['secs']} | {lo['pages_per_sec']} |
+| local[16] | {hi['secs']} | {hi['pages_per_sec']} |
 
-* speedup 8→32 cores: **{summary['speedup_8_to_32']}×** (ideal 4×)
+* speedup 4→16 cores: **{summary['speedup_4_to_16']}×** (ideal 4×)
 * scaling efficiency: **{summary['scaling_efficiency']}** (target ≥ 0.8)
 
 Caveats reported honestly: local mode shares one JVM/driver; shuffles are
 in-process (no network), so this measures the job's ability to keep N cores
 busy (partitioning balance, absence of driver-side serialization), not network
-shuffle behavior. Skew handling (salting/caps) is separately unit-tested.
+shuffle behavior. The 4→16 step (not 8→32) is used because every Spark core
+drives a JVM thread plus an Arrow/pandas Python worker — local[32] occupies
+~64 hardware threads on a 32-core box and measures oversubscription, not
+scaling. Skew handling (salting/caps) is separately unit-tested.
 
 Measured: {summary['measured_at']}
 

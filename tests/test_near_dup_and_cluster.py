@@ -85,15 +85,33 @@ def test_connected_components_simple_chain(spark):
 
 
 def test_connected_components_path_graph(spark):
-    """Long path exercises multi-iteration convergence (O(log n) rounds)."""
+    """Long path exercises multi-iteration convergence (O(log n) rounds).
+    cc_driver_threshold=0 forces the DISTRIBUTED large-star/small-star loop."""
     n = 40
     edges = spark.createDataFrame(
         [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)], ["url_a", "url_b"]
     )
-    labels = connected_components(edges, PipelineConfig(max_iterations=10)).collect()
+    cfg = PipelineConfig(max_iterations=10, cc_driver_threshold=0)
+    labels = connected_components(edges, cfg).collect()
     comps = {r["component"] for r in labels}
     assert comps == {"n000"}
     assert len(labels) == n + 1
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """The adaptive fast path (driver union-find) must be indistinguishable
+    from the distributed loop."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(f"v{rng.randrange(200):03d}", f"v{rng.randrange(200):03d}") for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["url_a", "url_b"])
+    fast = connected_components(df, PipelineConfig(cc_driver_threshold=10_000))
+    dist = connected_components(df, PipelineConfig(cc_driver_threshold=0))
+    a = sorted((r["url"], r["component"]) for r in fast.collect())
+    b = sorted((r["url"], r["component"]) for r in dist.collect())
+    assert a == b
 
 
 def test_clusters_match_expected(spark, result, pages_dfs):
