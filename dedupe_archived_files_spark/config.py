@@ -36,8 +36,13 @@ class PipelineConfig:
     minhash_perms: int = 128         # signature length
     lsh_bands: int = 32              # bands * rows_per_band == minhash_perms
     tau_jaccard: float = 0.85        # verification threshold on exact Jaccard
-    simhash_bits: int = 60           # fits a signed 64-bit long
-    max_hamming: int = 3
+    simhash_bits: int = 60           # fits a signed 64-bit long (query channel)
+    # pipeline simhash gate: keep pairs at shingle-simhash Hamming <= this
+    # (OR-combined with the Jaccard gate in operators.scoring.verified_edges).
+    # Calibrated on the synth corpus: planted near-dups (J 0.886-0.9) land at
+    # 3-10 of 64 bits, hard negatives (J <= 0.47) at 13-35 — 10 catches pairs
+    # the tau=0.9 Jaccard gate just misses without admitting any negative.
+    max_hamming: int = 10
 
     # --- skew handling (north rule) ---
     max_block_size: int = 2000       # rows per blocking key before salting/capping

@@ -96,152 +96,203 @@ def make_shingle_hash_udf(k: int):
     return shingle_hashes
 
 
-def make_shingle_minhash_udf(k: int, perms: int):
-    """tok_hashes(array<long>, JVM xxhash64 per token) →
-    struct(shingle_set array<long>, signature array<long>) in ONE fully
-    vectorized numpy pass — no Python string ops anywhere:
+# ---------------------------------------------------------------------------
+# Unified featurizer (THE pipeline signature space)
+# ---------------------------------------------------------------------------
+# There is exactly ONE way pipeline signatures/band keys are derived — both the
+# fused html→features path (operators.extract.extract_with_signature) and the
+# text→features path (operators.blocking.with_signature) call featurize_texts,
+# so rows from either path are always join-compatible. Outputs carry the
+# SIGNATURE_SPACE stamp so checkpoints from a different derivation are
+# detectable before a silent false-negative join.
+#
+# Derivation (frozen for space "msh128.pdhash.v2"):
+#   tok_hash   = pandas hash_array (SipHash-1-3, fixed key) over lowercased
+#                whitespace tokens — C-vectorized per Arrow batch
+#   shingle[i] = Σ_j C_j * tok_hash[i+j]   (uint64 wraparound, odd constants;
+#                docs shorter than k tokens → one whole-doc shingle)
+#   sig[p]     = min over shingles of ((a_p * sh + b_p) mod 2^64) >> 32 —
+#                multiply-shift universal hashing (Dietzfelbinger et al.):
+#                the same k-permutation MinHash estimator as round 1 but with
+#                no uint64 modulo in the hot loop (~2x per-core throughput)
+#   band_keys  = per-band polynomial fold of signature slices + band salt
+#   simhash    = 64-bit bit-vote over the (distinct) SHINGLE hash set.
+#                Shingle basis, not token basis: token-level simhash collapses
+#                for same-vocabulary documents (measured on the synth corpus:
+#                planted hard negatives at Jaccard <= 0.47 land at token
+#                hamming 0-3 — indistinguishable from duplicates — while
+#                shingle hamming separates cleanly: near-dups 3-10 vs hard
+#                negatives 13-35 of 64 bits)
+SIGNATURE_SPACE = "msh128.pdhash.v2"
 
-      shingle_hash[i] = Σ_j C_j * h[i+j]   (uint64 wraparound, odd constants)
-      shingle_set     = unique(shingle_hash)
-      signature[p]    = min((a_p * (sh & 0xffffffff) + b_p) mod P)
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
-    This is the engine's hot path (every page, every crawl); the blake2b
-    string variant (make_shingle_hash_udf) remains for contexts that need
-    text-level shingles."""
-    a, b = _perm_params(perms)
-    cs = np.array(
+
+def _shingle_consts(k: int) -> np.ndarray:
+    return np.array(
         [((0x9E3779B97F4A7C15 * (2 * j + 1)) & 0xFFFFFFFFFFFFFFFF) | 1 for j in range(k)],
         dtype=np.uint64,
     )
-    maxu = np.iinfo(np.uint64).max
+
+
+def _band_consts(bands: int, r: int) -> tuple[np.ndarray, np.ndarray]:
+    bc = np.array(
+        [((0xC2B2AE3D27D4EB4F * (2 * j + 1)) & 0xFFFFFFFFFFFFFFFF) | 1 for j in range(r)],
+        dtype=np.uint64,
+    )
+    bidx = np.arange(1, bands + 1, dtype=np.uint64) * _GOLD
+    return bc, bidx
+
+
+def featurize_texts(
+    texts: list, k: int, perms: int, bands: int
+) -> tuple[list, list, list, list]:
+    """Batch-vectorized feature derivation for a list of extracted texts
+    (None = quarantined row). Returns per-doc lists:
+    (shingle_sets, signatures, band_keys, simhashes)."""
+    r = perms // bands
+    a, b = _perm_params(perms)
+    cs = _shingle_consts(k)
+    bc, bidx = _band_consts(bands, r)
+    n_docs = len(texts)
+
+    shingles_out: list = [None] * n_docs
+    sigs_out: list = [None] * n_docs
+    bands_out: list = [None] * n_docs
+    sim_out: list = [None] * n_docs
+
+    # 1) tokenize + batch token hashing (one C pass over every token in the
+    # Arrow batch; categorize=True hashes each distinct token once)
+    tok_lists = [None if t is None else t.lower().split() for t in texts]
+    flat: list = []
+    for tl in tok_lists:
+        if tl:
+            flat.extend(tl)
+    if flat:
+        h_all = pd.util.hash_array(np.asarray(flat, dtype=object), categorize=True)
+    else:
+        h_all = np.empty(0, dtype=np.uint64)
+
+    a_col = a[:, None]
+    b_col = b[:, None]
+    shift32 = np.uint64(32)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    # 2) per-doc: shingle set, multiply-shift MinHash signature, simhash
+    live_idx: list[int] = []
+    sig_rows: list[np.ndarray] = []
+    pos = 0
+    with np.errstate(over="ignore"):
+        for i, tl in enumerate(tok_lists):
+            if tl is None:
+                continue
+            n = len(tl)
+            if n == 0:
+                shingles_out[i] = []
+                continue
+            h = h_all[pos : pos + n]
+            pos += n
+            if n < k:
+                sh = (cs[:n] * h).sum(keepdims=True)
+            else:
+                m = n - k + 1
+                sh = cs[0] * h[:m]
+                for j in range(1, k):
+                    sh += cs[j] * h[j : j + m]
+            sh = np.unique(sh)
+            shingles_out[i] = sh.view(np.int64).tolist()
+            live_idx.append(i)
+
+            # signature: min over shingles of ((a*sh + b) mod 2^64) >> 32,
+            # chunked so the (perms, chunk) work matrix stays cache-resident
+            best = None
+            for lo in range(0, len(sh), 8192):
+                part = sh[lo : lo + 8192]
+                mm = a_col * part[None, :]
+                mm += b_col
+                mm >>= shift32
+                pm = mm.min(axis=1)
+                best = pm if best is None else np.minimum(best, pm)
+            sig_rows.append(best)
+
+            # simhash: bit votes over the shingle hash set (uint8 unpack —
+            # no giant intermediate, no reduceat; see SIGNATURE_SPACE notes
+            # for why shingle basis, not token basis)
+            bits = np.unpackbits(
+                sh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            votes = bits.sum(axis=0, dtype=np.int64)
+            sim_out[i] = int(
+                np.where(2 * votes > len(sh), weights, np.uint64(0)).sum().view(np.int64)
+            )
+
+        if not live_idx:
+            return shingles_out, sigs_out, bands_out, sim_out
+
+        # 3) band keys: per-band polynomial fold over the whole batch at once
+        S = np.vstack(sig_rows)  # (nd, perms) uint64
+        bk = (S.reshape(len(live_idx), bands, r) * bc[None, None, :]).sum(axis=2)
+        bk += bidx[None, :]
+
+    sig_i64 = S.view(np.int64)
+    bk_i64 = bk.view(np.int64)
+    for j, i in enumerate(live_idx):
+        sigs_out[i] = sig_i64[j].tolist()
+        bands_out[i] = bk_i64[j].tolist()
+    return shingles_out, sigs_out, bands_out, sim_out
+
+
+def make_featurize_udf(k: int, perms: int, bands: int, with_extract: bool):
+    """(html, text) → struct(text, title, shingle_set, signature, band_keys,
+    simhash): the WHOLE Python portion of stages 1-2 in one Arrow crossing.
+
+    Why fused: two chained ArrowEvalPython nodes in one stage pipeline
+    JVM→workerA→JVM→workerB per batch and stall each other under load —
+    measured 25x slower than either stage alone at local[16]. One UDF = one
+    worker per task, no inter-worker backpressure.
+
+    ``with_extract=True`` runs the frozen extraction contract
+    (functions.text.extract_text_py) and title scrape on `html` first;
+    ``with_extract=False`` trusts `text` as already extracted (the
+    with_signature path) — both produce IDENTICAL features for identical text
+    (asserted in tests), which is the one-signature-space guarantee."""
+    from dedupe_archived_files_spark.functions.text import (
+        extract_text_py,
+        extract_title_py,
+    )
+
     out_type = T.StructType(
         [
+            T.StructField("text", T.StringType(), True),
+            T.StructField("title", T.StringType(), True),
             T.StructField("shingle_set", T.ArrayType(T.LongType()), True),
             T.StructField("signature", T.ArrayType(T.LongType()), True),
+            T.StructField("band_keys", T.ArrayType(T.LongType()), True),
+            T.StructField("simhash", T.LongType(), True),
         ]
     )
 
     @F.pandas_udf(out_type)
-    def shingle_minhash(tok_hashes: pd.Series) -> pd.DataFrame:
-        shingles_out, sigs_out = [], []
-        with np.errstate(over="ignore"):
-            for th in tok_hashes:
-                if th is None or len(th) == 0:
-                    shingles_out.append([] if th is not None else None)
-                    sigs_out.append(None)
-                    continue
-                h = np.asarray(th, dtype=np.int64).view(np.uint64)
-                n = len(h)
-                if n < k:
-                    sh = (cs[:n] * h).sum(keepdims=True)
-                else:
-                    m = n - k + 1
-                    sh = np.zeros(m, dtype=np.uint64)
-                    for j in range(k):
-                        sh += cs[j] * h[j : j + m]
-                sh = np.unique(sh)
-                shingles_out.append(sh.view(np.int64).tolist())
-                hv = sh & _MASK32
-                best = np.full(perms, maxu, dtype=np.uint64)
-                for lo in range(0, len(hv), 8192):
-                    part = hv[lo : lo + 8192]
-                    mm = (a[:, None] * part[None, :] + b[:, None]) % _PRIME
-                    np.minimum(best, mm.min(axis=1), out=best)
-                sigs_out.append(best.astype(np.int64).tolist())
-        return pd.DataFrame({"shingle_set": shingles_out, "signature": sigs_out})
-
-    return shingle_minhash
-
-
-def make_fused_extract_signature_udf(k: int, perms: int, bands: int = 0):
-    """(html, text) → struct(text, shingle_set, signature[, band_keys]): the
-    WHOLE Python portion of stages 1-2 in one Arrow crossing.
-
-    Why fused: two chained ArrowEvalPython nodes in one stage (extract UDF
-    feeding a signature UDF) pipeline JVM→workerA→JVM→workerB per batch and
-    stall each other under load — measured 25x slower than either stage alone
-    at local[16]. One UDF = one worker per task, no inter-worker backpressure.
-
-    Inside: frozen extraction contract (functions.text.extract_text_py),
-    blake2b-64 token hashes, numpy sliding-window shingle combine, unique,
-    k-permutation min — all per Arrow batch."""
-    from hashlib import blake2b
-
-    from dedupe_archived_files_spark.functions.text import extract_text_py
-
-    a, b = _perm_params(perms)
-    cs = np.array(
-        [((0x9E3779B97F4A7C15 * (2 * j + 1)) & 0xFFFFFFFFFFFFFFFF) | 1 for j in range(k)],
-        dtype=np.uint64,
-    )
-    maxu = np.iinfo(np.uint64).max
-    fields = [
-        T.StructField("text", T.StringType(), True),
-        T.StructField("shingle_set", T.ArrayType(T.LongType()), True),
-        T.StructField("signature", T.ArrayType(T.LongType()), True),
-    ]
-    r = perms // bands if bands else 0
-    if bands:
-        fields.append(T.StructField("band_keys", T.ArrayType(T.LongType()), True))
-        # per-band polynomial fold constants (band index folded in so bands
-        # never collide with each other)
-        bc = np.array(
-            [((0xC2B2AE3D27D4EB4F * (2 * j + 1)) & 0xFFFFFFFFFFFFFFFF) | 1 for j in range(r)],
-            dtype=np.uint64,
+    def featurize(html_s: pd.Series, text_s: pd.Series) -> pd.DataFrame:
+        if with_extract:
+            texts = [extract_text_py(h, t) for h, t in zip(html_s, text_s)]
+            titles = [extract_title_py(h) for h in html_s]
+        else:
+            texts = [t if t is not None else None for t in text_s]
+            titles = [None] * len(texts)
+        shingle_sets, sigs, bks, sims = featurize_texts(texts, k, perms, bands)
+        return pd.DataFrame(
+            {
+                "text": texts,
+                "title": titles,
+                "shingle_set": shingle_sets,
+                "signature": sigs,
+                "band_keys": bks,
+                "simhash": pd.Series(sims, dtype="object"),
+            }
         )
-        bidx = np.arange(1, bands + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-    out_type = T.StructType(fields)
 
-    def tok_hash(t: str) -> int:
-        return int.from_bytes(blake2b(t.encode("utf-8"), digest_size=8).digest(), "big")
-
-    @F.pandas_udf(out_type)
-    def fused(html_s: pd.Series, text_s: pd.Series) -> pd.DataFrame:
-        texts, shingles_out, sigs_out, bands_out = [], [], [], []
-        with np.errstate(over="ignore"):
-            for html, text in zip(html_s, text_s):
-                txt = extract_text_py(html, text)
-                texts.append(txt)
-                if txt is None:
-                    shingles_out.append(None)
-                    sigs_out.append(None)
-                    bands_out.append(None)
-                    continue
-                toks = txt.lower().split()
-                if not toks:
-                    shingles_out.append([])
-                    sigs_out.append(None)
-                    bands_out.append(None)
-                    continue
-                h = np.fromiter((tok_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
-                n = len(h)
-                if n < k:
-                    sh = (cs[:n] * h).sum(keepdims=True)
-                else:
-                    m = n - k + 1
-                    sh = np.zeros(m, dtype=np.uint64)
-                    for j in range(k):
-                        sh += cs[j] * h[j : j + m]
-                sh = np.unique(sh)
-                shingles_out.append(sh.view(np.int64).tolist())
-                hv = sh & _MASK32
-                best = np.full(perms, maxu, dtype=np.uint64)
-                for lo in range(0, len(hv), 8192):
-                    part = hv[lo : lo + 8192]
-                    mm = (a[:, None] * part[None, :] + b[:, None]) % _PRIME
-                    np.minimum(best, mm.min(axis=1), out=best)
-                sigs_out.append(best.astype(np.int64).tolist())
-                if bands:
-                    # band key = polynomial fold of each signature slice + band salt
-                    mat = best.reshape(bands, r)
-                    keys = (mat * bc[None, :]).sum(axis=1) + bidx
-                    bands_out.append(keys.view(np.int64).tolist())
-        data = {"text": texts, "shingle_set": shingles_out, "signature": sigs_out}
-        if bands:
-            data["band_keys"] = bands_out
-        return pd.DataFrame(data)
-
-    return fused
+    return featurize
 
 
 def make_minhash_udf(k: int):

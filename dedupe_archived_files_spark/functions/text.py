@@ -60,21 +60,23 @@ def extract_text_udf(html_s: pd.Series, text_s: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="object")
 
 
+def extract_title_py(html_bytes: bytes | None) -> str | None:
+    """Single-value title scrape (the Jaro-Winkler scoring channel's input;
+    north rule: 'Jaro-Winkler on titles/urls'). None when no html / no title."""
+    if html_bytes is None:
+        return None
+    try:
+        s = html_bytes.decode("utf-8")
+    except UnicodeDecodeError:
+        s = html_bytes.decode("latin-1")
+    m = _TITLE_RE.search(s)
+    return _WS_RE.sub(" ", _htmllib.unescape(m.group(1))).strip() if m else None
+
+
 @F.pandas_udf(T.StringType())
 def extract_title_udf(html_s: pd.Series) -> pd.Series:
     """Title extraction (for Jaro-Winkler scoring channel)."""
-    out = []
-    for h in html_s:
-        if h is None:
-            out.append(None)
-            continue
-        try:
-            s = h.decode("utf-8")
-        except UnicodeDecodeError:
-            s = h.decode("latin-1")
-        m = _TITLE_RE.search(s)
-        out.append(_WS_RE.sub(" ", _htmllib.unescape(m.group(1))).strip() if m else None)
-    return pd.Series(out, dtype="object")
+    return pd.Series([extract_title_py(h) for h in html_s], dtype="object")
 
 
 # ---------------------------------------------------------------------------

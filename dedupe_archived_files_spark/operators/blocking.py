@@ -10,15 +10,20 @@ Multi-channel blocking (SURVEY.md §7.1 stage 2). Channels:
 * ``minhash`` — LSH band keys over token-shingle MinHash signatures.
 
 Skew handling (north rule — the reference has none, SURVEY.md §4):
-oversized blocks (> cfg.max_block_size rows sharing one key) would generate
-O(n²) candidate pairs; they are CAPPED — dropped from pair generation and
-reported via `oversized_blocks` so lineage records what was skipped (standard
-LSH practice for template/boilerplate keys). The exact channel is exempt from
-the cap: identical content is resolved group-wise (no pair explosion) by
-operators.dedupe.exact_duplicate_clusters.
 
-The candidate self-join shuffles once on (channel, key); AQE skew-join splits
-residual hot partitions at runtime.
+* oversized blocks (> cfg.max_block_size rows sharing one key) would generate
+  O(n²) candidate pairs; they are CAPPED — dropped from pair generation and
+  reported via `oversized_blocks` so lineage records what was skipped
+  (standard LSH practice for template/boilerplate keys);
+* blocks under the cap but above ``max_block_size / salt_buckets`` rows are
+  SALTED: the member list is split into cells and each (cell_i, cell_j) grid
+  pair becomes its own row, redistributed across the cluster before the
+  quadratic pair explode — a near-cap block (2000 rows → ~2M pairs) no longer
+  lands on one shuffle partition. Every cross-cell pair is still generated
+  (grid covers i<=j), so salting NEVER drops a candidate (unit-tested).
+
+The exact channel is exempt from both: identical content is resolved
+group-wise (no pair explosion) by operators.dedupe.exact_duplicate_clusters.
 """
 
 from __future__ import annotations
@@ -27,64 +32,79 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dedupe_archived_files_spark.config import PipelineConfig
-from dedupe_archived_files_spark.functions.minhash import (
-    band_keys,
-    make_shingle_minhash_udf,
-)
-from dedupe_archived_files_spark.functions.text import normalize_url, tokens
+from dedupe_archived_files_spark.functions.text import normalize_url
 from dedupe_archived_files_spark.operators.extract import eligible
+
+_CK_TYPE = "array<struct<channel:string,key:string>>"
 
 
 def with_signature(pages_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Add token-hash / shingle-set / MinHash signature columns (stage-2 prep).
+    """Add the unified feature columns (title/shingle_set/signature/band_keys/
+    simhash/norm_url/sig_space) to an already-extracted pages_text frame.
 
-    Tokenization and per-token hashing are JVM-side (split + xxhash64 inside
-    whole-stage codegen); shingle combination + the k-permutation min run in
-    ONE vectorized numpy pandas UDF. `shingle_set` holds 64-bit shingle
-    HASHES (8 bytes/element through every shuffle; exact-Jaccard verification
-    intersects longs). Raw text is NOT carried forward (column pruning —
-    SURVEY.md §4)."""
-    df = pages_text.withColumn(
-        "tok_hashes",
-        F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t)),
+    Calls the SAME featurizer as operators.extract.extract_with_signature
+    (functions.minhash.featurize_texts) with extraction disabled — identical
+    text always yields identical signatures/band keys on both paths, so rows
+    from either are join-compatible (the one-signature-space guarantee; the
+    sig_space stamp makes foreign checkpoints detectable)."""
+    from dedupe_archived_files_spark.functions.minhash import (
+        SIGNATURE_SPACE,
+        make_featurize_udf,
     )
-    sm = make_shingle_minhash_udf(cfg.shingle_size, cfg.minhash_perms)
-    df = df.withColumn("_sm", sm(F.col("tok_hashes")))
+
+    fused = make_featurize_udf(
+        cfg.shingle_size, cfg.minhash_perms, cfg.lsh_bands, with_extract=False
+    )
+    df = pages_text.withColumn(
+        "_x", fused(F.lit(None).cast("binary"), F.col("text"))
+    )
     df = (
-        df.withColumn("shingle_set", F.col("_sm.shingle_set"))
-        .withColumn("signature", F.col("_sm.signature"))
-        .drop("_sm")
+        df.withColumn("title", F.col("_x.title"))
+        .withColumn("shingle_set", F.col("_x.shingle_set"))
+        .withColumn("signature", F.col("_x.signature"))
+        .withColumn("band_keys", F.col("_x.band_keys"))
+        .withColumn("simhash", F.col("_x.simhash"))
+        .drop("_x")
+        .withColumn("norm_url", normalize_url(F.col("url")))
+        .withColumn("sig_space", F.lit(SIGNATURE_SPACE))
     )
     return df
 
 
 def block_keys(pages_sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """One row per (url, channel, key). Null keys are dropped."""
-    base = pages_sig.filter(eligible(cfg))
+    """One row per (url, channel, key). Null keys are dropped.
 
-    exact = base.select(
-        "url", F.lit("exact").alias("channel"), F.col("full_hash").alias("key")
+    ONE scan of the (columnar-cached, column-pruned) signature frame and one
+    explode — the per-channel union formulation scanned the stage output four
+    times, which dominated the blocking stage's wall-clock at 400k pages."""
+    base = pages_sig.filter(eligible(cfg))
+    nu = F.col("norm_url") if "norm_url" in pages_sig.columns else normalize_url(F.col("url"))
+    empty = F.lit(None).cast(_CK_TYPE)
+
+    def entry(channel: str, key) -> F.Column:
+        return F.struct(F.lit(channel).alias("channel"), key.alias("key"))
+
+    arr = F.concat(
+        F.array(entry("exact", F.col("full_hash"))),
+        F.coalesce(
+            F.when(
+                F.col("quick_hash").isNotNull(),
+                F.array(entry("quick", F.col("quick_hash"))),
+            ),
+            F.lit([]).cast(_CK_TYPE),
+        ),
+        F.array(entry("url", nu)),
+        F.coalesce(
+            F.transform(
+                F.col("band_keys"), lambda bk: entry("minhash", bk.cast("string"))
+            ),
+            F.lit([]).cast(_CK_TYPE),
+        ),
     )
-    quick = base.filter(F.col("quick_hash").isNotNull()).select(
-        "url", F.lit("quick").alias("channel"), F.col("quick_hash").alias("key")
-    )
-    url = base.select(
-        "url", F.lit("url").alias("channel"), normalize_url(F.col("url")).alias("key")
-    )
-    # precomputed band_keys (fused-UDF path) beat the JVM expression: the
-    # per-row slice/hash expression tree was the top GC producer in the
-    # blocking stage (see functions.minhash.band_keys)
-    if "band_keys" in pages_sig.columns:
-        bk_col = F.col("band_keys")
-        mh_base = base.filter(F.col("band_keys").isNotNull())
-    else:
-        bk_col = band_keys(F.col("signature"), cfg.lsh_bands, cfg.lsh_rows_per_band)
-        mh_base = base.filter(F.col("signature").isNotNull())
-    mh = mh_base.select(
-        "url", F.explode(bk_col).alias("bk")
-    ).select("url", F.lit("minhash").alias("channel"), F.col("bk").cast("string").alias("key"))
-    return exact.unionByName(quick).unionByName(url).unionByName(mh).filter(
-        F.col("key").isNotNull()
+    return (
+        base.select("url", F.explode(arr).alias("_ck"))
+        .select("url", F.col("_ck.channel").alias("channel"), F.col("_ck.key").alias("key"))
+        .filter(F.col("key").isNotNull())
     )
 
 
@@ -111,13 +131,24 @@ def candidate_pairs(
     table — at 10^12 docs the most expensive shuffle in the pipeline; the
     bucket form never sorts and shuffles the key table exactly once.
 
+    Skew (north rule "salted repartitioning for hot-key skew"): a bucket with
+    n members explodes into ~n²/2 pairs inside ONE task. Buckets larger than
+    ``cell = max_block_size / salt_buckets`` members are therefore split into
+    ceil(n/cell) member slices and every (slice_i, slice_j) grid cell (i <= j)
+    becomes its own row, redistributed by an explicit repartition on
+    (channel, key, gi, gj) BEFORE the pair explode — the quadratic work of a
+    near-cap block spreads over up to salt_buckets*(salt_buckets+1)/2 tasks.
+    The grid covers every unordered member pair exactly once, so salting
+    never loses a candidate (tested with a planted hot key).
+
     The exact channel is intentionally absent here: exact duplicates go
     through the group-wise path (no pairs), keeping the quadratic work
     bounded by cfg.max_block_size within probabilistic blocks only.
     """
+    cell = max(2, -(-cfg.max_block_size // max(1, cfg.salt_buckets)))  # ceil div
     keys = block_keys(pages_sig, cfg).filter(F.col("channel").isin(*channels))
     # consumed by the count pass AND the bucket build — pin to one execution
-    keys = keys.localCheckpoint(eager=False)
+    keys = keys.persist()
     # count pre-filter (codegen HashAggregate): only keys with 2..cap members
     # survive, so no member list is ever BUILT for a singleton or a viral
     # bucket — memory per group stays bounded by cfg.max_block_size
@@ -131,11 +162,57 @@ def candidate_pairs(
         keys.join(kept, ["channel", "key"])
         .groupBy("channel", "key")
         .agg(F.collect_list("url").alias("members"))
+        .withColumn("n", F.size("members"))
     )
-    return (
-        buckets.select("channel", F.explode("members").alias("url_a"), "members")
+
+    # small blocks: direct double-explode inside the bucket's own task
+    small_pairs = (
+        buckets.filter(F.col("n") <= cell)
+        .select("channel", F.explode("members").alias("url_a"), "members")
         .select("channel", "url_a", F.explode("members").alias("url_b"))
         .filter(F.col("url_a") < F.col("url_b"))
+    )
+
+    # salted blocks: slice the member list into cells, fan the (i, j) grid
+    # out across the cluster, then explode pairs per cell
+    nc = F.ceil(F.col("n") / F.lit(cell)).cast("int")
+    grid = (
+        buckets.filter(F.col("n") > cell)
+        .select(
+            "channel", "key", "members",
+            F.explode(F.sequence(F.lit(0), nc - 1)).alias("gi"),
+            nc.alias("nc"),
+        )
+        .select(
+            "channel", "key", "members", "gi",
+            F.explode(F.sequence(F.col("gi"), F.col("nc") - 1)).alias("gj"),
+        )
+        .select(
+            "channel",
+            "key",
+            "gi",
+            "gj",
+            F.slice("members", F.col("gi") * cell + 1, cell).alias("ma"),
+            F.slice("members", F.col("gj") * cell + 1, cell).alias("mb"),
+        )
+        .repartition(F.col("channel"), F.col("key"), F.col("gi"), F.col("gj"))
+    )
+    salted_pairs = (
+        grid.select("channel", "gi", "gj", F.explode("ma").alias("a"), "mb")
+        .select("channel", "gi", "gj", "a", F.explode("mb").alias("b"))
+        # diagonal cells see both orders — keep a<b; off-diagonal cells see
+        # each unordered pair once (disjoint slices) — canonicalize the order
+        .filter((F.col("gi") != F.col("gj")) | (F.col("a") < F.col("b")))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "channel",
+            F.least("a", "b").alias("url_a"),
+            F.greatest("a", "b").alias("url_b"),
+        )
+    )
+
+    return (
+        small_pairs.unionByName(salted_pairs)
         .groupBy("url_a", "url_b")
         .agg(F.array_sort(F.collect_set("channel")).alias("channels"))
     )

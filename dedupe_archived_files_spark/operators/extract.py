@@ -53,24 +53,30 @@ def extract_pages(pages: DataFrame, cfg: PipelineConfig | None = None,
 
 def extract_with_signature(pages: DataFrame, cfg: PipelineConfig | None = None,
                            algo: str = "md5") -> DataFrame:
-    """Fused stages 1+2: pages → pages_text ⊕ (shingle_set, signature) with a
-    SINGLE Python crossing (see functions.minhash.make_fused_extract_signature_udf
-    for why chaining two pandas UDFs in one stage is pathological). All hash
-    columns are JVM-side over the UDF's text output."""
+    """Fused stages 1+2: pages → pages_text ⊕ (title, shingle_set, signature,
+    band_keys, simhash) with a SINGLE Python crossing (see
+    functions.minhash.make_featurize_udf for why chaining two pandas UDFs in
+    one stage is pathological). All hash columns are JVM-side over the UDF's
+    text output; norm_url is a JVM regexp chain computed once here so no
+    downstream stage re-derives it."""
     from dedupe_archived_files_spark.functions.minhash import (
-        make_fused_extract_signature_udf,
+        SIGNATURE_SPACE,
+        make_featurize_udf,
     )
+    from dedupe_archived_files_spark.functions.text import normalize_url
 
     cfg = (cfg or PipelineConfig()).validated()
-    fused = make_fused_extract_signature_udf(
-        cfg.shingle_size, cfg.minhash_perms, cfg.lsh_bands
+    fused = make_featurize_udf(
+        cfg.shingle_size, cfg.minhash_perms, cfg.lsh_bands, with_extract=True
     )
     df = pages.withColumn("_x", fused(F.col("html"), F.col("text")))
     df = (
         df.withColumn("text", F.col("_x.text"))
+        .withColumn("title", F.col("_x.title"))
         .withColumn("shingle_set", F.col("_x.shingle_set"))
         .withColumn("signature", F.col("_x.signature"))
         .withColumn("band_keys", F.col("_x.band_keys"))
+        .withColumn("simhash", F.col("_x.simhash"))
         .drop("_x")
     )
     df = df.withColumn(
@@ -88,11 +94,14 @@ def extract_with_signature(pages: DataFrame, cfg: PipelineConfig | None = None,
             "quarantine_reason",
             F.when(F.col("text").isNull(), F.lit("no html and no text")),
         )
+        .withColumn("norm_url", normalize_url(F.col("url")))
+        .withColumn("sig_space", F.lit(SIGNATURE_SPACE))
     )
     return df.select(
         "url", "warc_ts", "text", "lang", "size",
         "full_hash", "quick_hash", "quarantined", "quarantine_reason",
-        "shingle_set", "signature", "band_keys",
+        "title", "shingle_set", "signature", "band_keys", "simhash",
+        "norm_url", "sig_space",
     )
 
 

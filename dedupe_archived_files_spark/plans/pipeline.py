@@ -25,7 +25,6 @@ from dedupe_archived_files_spark.operators.blocking import (
     block_keys,
     candidate_pairs,
     oversized_blocks,
-    with_signature,
 )
 from dedupe_archived_files_spark.operators.clustering import (
     connected_components,
@@ -69,29 +68,38 @@ def exact_star_edges(pages_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
     cfg = (cfg or PipelineConfig()).validated()
 
-    # Stages 1+2 fused: extraction + shingling + MinHash in ONE Python
-    # crossing (operators.extract.extract_with_signature). Stage-boundary
-    # materialization: every stage output below is consumed by more than one
-    # downstream subtree (sig → block keys AND pair features AND exact
-    # groups; candidates → pair join AND the url semi-join prune). Without
-    # pinning, Spark re-executes the upstream UDF chain once per consumer per
-    # action. On a real deployment these pins are the per-stage table writes
-    # of run_pipeline_checkpointed.
-    sig = extract_with_signature(pages, cfg).localCheckpoint(eager=False)
+    # Stages 1+2 fused: extraction + shingling + MinHash + SimHash + title in
+    # ONE Python crossing (operators.extract.extract_with_signature).
+    # Stage-boundary materialization: every stage output below is consumed by
+    # more than one downstream subtree (sig → block keys AND pair features
+    # AND exact groups; candidates → pair join AND the url semi-join prune).
+    # persist(), NOT localCheckpoint: the columnar in-memory cache
+    # (InMemoryRelation) supports COLUMN PRUNING at scan time, so blocking
+    # reads only (url, hashes, band_keys) and never deserializes text /
+    # shingle arrays — a localCheckpoint pins row-format RDDs that every
+    # consumer must fully deserialize (measured 2x blocking-stage cost at
+    # 400k pages). On a real deployment these pins are the per-stage parquet
+    # writes of run_pipeline_checkpointed (same pruning property).
+    sig = extract_with_signature(pages, cfg).persist()
+    # Eager stage barrier: downstream subtrees (block keys / exact groups /
+    # feature join) are INDEPENDENT query stages that AQE submits
+    # concurrently; against an unmaterialized cache each would recompute the
+    # UDF partitions it needs (observed as duplicated Python work + "Block
+    # already exists" races). One cheap count() builds the cache exactly once.
+    sig.count()
     pages_text = sig
 
-    cand = candidate_pairs(sig, cfg).localCheckpoint(eager=False)
+    cand = candidate_pairs(sig, cfg).persist()
     scored = pair_features(sig, cand)
     near_edges = verified_edges(scored, cfg)
     exact_edges = exact_star_edges(pages_text, cfg)
     # Materialize edges once: the CC loop and any downstream consumer would
-    # otherwise re-run extraction + blocking + scoring per action. On a real
-    # cluster this is the stage-boundary checkpoint (plans.lineage).
+    # otherwise re-run extraction + blocking + scoring per action.
     edges = (
         near_edges.select("url_a", "url_b", "score", "channel")
         .unionByName(exact_edges)
         .dropDuplicates(["url_a", "url_b"])
-        .localCheckpoint(eager=False)
+        .persist()
     )
 
     labels = connected_components(edges.select("url_a", "url_b"), cfg)
