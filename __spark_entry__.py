@@ -55,12 +55,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_jaccard_pairs": Q.near_dup_jaccard_pairs,
         "minhash_lsh_near_dup": Q.minhash_lsh_near_dup,
         "simhash_hamming_pairs": Q.simhash_hamming_pairs,
+        "simhash_banded_near_dup": Q.simhash_banded_near_dup,
         "connected_components_docs": Q.connected_components_docs,
         # text analysis
         "lang_id_documents": Q.lang_id_documents,
         "quality_scores_documents": Q.quality_scores_documents,
         "token_counts_documents": Q.token_counts_documents,
         "doc_fingerprints": Q.doc_fingerprints,
+        "human_readable_sizes": Q.human_readable_sizes,
         # relational operator family (reference joins/aggs/sorts)
         "semi_join_suppliers": Q.semi_join_suppliers,
         "anti_join_customers": Q.anti_join_customers,
@@ -171,6 +173,9 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_jaccard_pairs": _JACCARD_PAIRS_SQL,
         "minhash_lsh_near_dup": _JACCARD_PAIRS_SQL,
         "simhash_hamming_pairs": _simhash_sql(),
+        # banded variant verifies to the identical pair set (J2-superset
+        # invariant) — same oracle by construction
+        "simhash_banded_near_dup": _simhash_sql(),
         "connected_components_docs": f"""
             WITH RECURSIVE t AS (
               SELECT doc_id, lang, source, list_distinct({_TOKS}) AS toks FROM documents
@@ -235,6 +240,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(DISTINCT mh) AS BIGINT) AS n_fp,
                    CAST(sum(mh % 1000000007) AS BIGINT) AS fp_checksum
             FROM mins GROUP BY doc_id
+        """,
+        "human_readable_sizes": """
+            SELECT doc_id,
+                   CASE WHEN n_chars < 1024 THEN round(CAST(n_chars AS DOUBLE), 1)
+                        WHEN n_chars < 1048576 THEN round(n_chars / 1024.0, 1)
+                        ELSE round(n_chars / 1048576.0, 1) END AS size_value,
+                   CASE WHEN n_chars < 1024 THEN 'B'
+                        WHEN n_chars < 1048576 THEN 'KB'
+                        ELSE 'MB' END AS size_unit
+            FROM documents
         """,
         "semi_join_suppliers": """
             SELECT s_suppkey, s_name FROM supplier s

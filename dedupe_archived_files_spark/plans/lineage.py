@@ -96,7 +96,16 @@ class CheckpointStore:
             .withColumn("snapshot_id", F.lit(int(time.time() * 1000)))
             .withColumn("committed_at", F.current_timestamp())
         )
-        lineage.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
+        # dynamic partition overwrite keyed by stage: a crash between this
+        # write and the marker makes the rerun REPLACE this stage's lineage
+        # rows instead of re-appending duplicates — the idempotent-overwrite
+        # contract now covers lineage, not just stage data
+        (
+            lineage.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("stage")
+            .parquet(os.path.join(self.root, "_lineage"))
+        )
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "_lineage"))

@@ -67,6 +67,17 @@ def exact_star_edges(pages_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
     cfg = (cfg or PipelineConfig()).validated()
+    import os as _os
+    import time as _time
+
+    _prof = _os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+    _t0 = _time.time()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        if _prof:
+            print(f"[pipeline] {name}: {_time.time() - _t0:.2f}s", flush=True)
+            _t0 = _time.time()
 
     # Stages 1+2 fused: extraction + shingling + MinHash + SimHash + title in
     # ONE Python crossing (operators.extract.extract_with_signature).
@@ -87,9 +98,15 @@ def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> Pipelin
     # UDF partitions it needs (observed as duplicated Python work + "Block
     # already exists" races). One cheap count() builds the cache exactly once.
     sig.count()
+    _mark("sig_build")
     pages_text = sig
 
     cand = candidate_pairs(sig, cfg).persist()
+    # same barrier rationale: cand feeds the pair join AND the url semi-join
+    # prune — two subtrees of one downstream query that AQE schedules
+    # concurrently, each otherwise recomputing the whole blocking subtree
+    cand.count()
+    _mark("cand_build")
     scored = pair_features(sig, cand)
     near_edges = verified_edges(scored, cfg)
     exact_edges = exact_star_edges(pages_text, cfg)
@@ -101,8 +118,11 @@ def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> Pipelin
         .dropDuplicates(["url_a", "url_b"])
         .persist()
     )
+    edges.count()
+    _mark("edges_build")
 
     labels = connected_components(edges.select("url_a", "url_b"), cfg)
+    _mark("cc")
     clusters = resolve_clusters(labels)
     big = oversized_blocks(block_keys(sig, cfg), cfg)
     return PipelineResult(

@@ -219,6 +219,69 @@ def simhash_hamming_pairs(spark, sf_dir):
     )
 
 
+SIMHASH_CHUNKS = 12   # 12 chunks x 5 bits: > HAMMING_MAX chunks, so any pair
+SIMHASH_CHUNK_BITS = 5  # at Hamming <= 10 shares >= 1 unchanged chunk (pigeonhole)
+
+
+def simhash_banded_near_dup(spark, sf_dir):
+    """Hamming-LSH twin of simhash_hamming_pairs: instead of the all-pairs
+    self-join within (lang, source), the 60-bit fingerprint is split into 12
+    disjoint 5-bit chunks and candidates are generated by equality on ANY
+    (chunk_index, chunk_value) — by pigeonhole, a pair at Hamming <= 10 has
+    at most 10 differing bits, which can dirty at most 10 of the 12 chunks,
+    so at least one chunk matches exactly and the pair is found. Candidates
+    are then verified with the exact popcount gate, making the output
+    IDENTICAL to the brute-force query (same oracle SQL — the J2-superset
+    invariant for the SimHash channel).
+
+    Scale: the all-pairs form is O(n²) per (lang, source) block; this form
+    shuffles 12 slim rows per doc and pairs only within chunk buckets
+    (expected bucket fanout n/2^bits per chunk), the same
+    explode-on-band-key shape as the MinHash path."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        simhash_udf(distinct_token_hashes(_space_tokens(F.col("text")))).alias("sh"),
+    )
+    d = d.localCheckpoint(eager=False)  # consumed by the band explode AND verify
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright(F.col("sh"), i * SIMHASH_CHUNK_BITS).bitwiseAND(F.lit(mask)).alias("cv"),
+            )
+            for i in range(SIMHASH_CHUNKS)
+        ]
+    )
+    bands = d.select("doc_id", "lang", "source", F.explode(chunks).alias("c")).select(
+        "doc_id", "lang", "source", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.source") == F.col("y.source"))
+            & (F.col("x.ci") == F.col("y.ci"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_id_a"), F.col("y.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    fa = d.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    fb = d.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(fa, "doc_id_a")
+        .join(fb, "doc_id_b")
+        .withColumn("hamming", hamming(F.col("sh_a"), F.col("sh_b")).cast("long"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
 def connected_components_docs(spark, sf_dir):
     """Transitive clustering: edges = same-(lang,source) pairs at Jaccard >=
     0.8; components via the engine's iterative large-star/small-star operator.
@@ -321,24 +384,83 @@ FP_W = 4   # winnowing window
 def doc_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints: md5-derived hashes of 8-char grams,
     min per 4-gram window, distinct mins = the fingerprint set. Emits count +
-    an order-insensitive checksum."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    pos = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text") - F.lit(FP_K - 1))).alias("pos"),
-        F.col("text"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.conv(F.substring(F.md5(F.encode(F.substring(F.col("text"), F.col("pos"), FP_K), "UTF-8")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
+    an order-insensitive checksum.
+
+    Scale shape: ONE vectorized pandas UDF pass per document (pattern of
+    functions.minhash.featurize_texts). The previous formulation exploded one
+    row per character position through a shuffle-backed window — a 10 KB doc
+    became 10k shuffled rows (VERDICT r1 scale-killer #3); it also emitted
+    descending F.sequence positions for texts shorter than the gram width
+    (spurious rows the oracle's WHERE length>=8 excludes). Docs shorter than
+    FP_K chars yield no fingerprint row, matching the oracle exactly."""
+    from hashlib import md5 as _md5
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    k, w = FP_K, FP_W
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("n_fp", T.LongType(), True),
+                T.StructField("fp_checksum", T.LongType(), True),
+            ]
+        )
     )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, FP_W - 1)
-    mins = pos.select("doc_id", F.min("h").over(w).alias("mh"))
-    return mins.groupBy("doc_id").agg(
-        F.countDistinct("mh").cast("long").alias("n_fp"),
-        F.sum(F.col("mh") % F.lit(1_000_000_007)).cast("long").alias("fp_checksum"),
+    def winnow(text: pd.Series) -> pd.DataFrame:
+        n_out, ck_out = [], []
+        for t in text:
+            if t is None or len(t) < k:
+                n_out.append(None)
+                ck_out.append(None)
+                continue
+            # h[i] = int64 of the first 15 hex chars of md5(gram_i) — the
+            # exact formula of the DuckDB oracle (and Spark's conv/substring
+            # twin it replaced)
+            hs = np.fromiter(
+                (
+                    int(_md5(t[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
+                    for i in range(len(t) - k + 1)
+                ),
+                dtype=np.int64,
+                count=len(t) - k + 1,
+            )
+            # sliding min over [i, i+w-1], window truncating at the tail —
+            # identical to ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING
+            m = hs.copy()
+            for s in range(1, w):
+                np.minimum(m[:-s], hs[s:], out=m[:-s])
+            n_out.append(int(np.unique(m).size))
+            ck_out.append(int((m % 1_000_000_007).sum()))
+        return pd.DataFrame({"n_fp": n_out, "fp_checksum": ck_out})
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        d.withColumn("_fp", winnow(F.col("text")))
+        .filter(F.col("_fp.n_fp").isNotNull())
+        .select("doc_id", F.col("_fp.n_fp").alias("n_fp"), F.col("_fp.fp_checksum").alias("fp_checksum"))
+    )
+
+
+def human_readable_sizes(spark, sf_dir):
+    """P9 (reference format_size, core/file_ops.py:97-112): byte counts to a
+    1-decimal value + unit at base 1024. Emitted as (value, unit) columns
+    rather than one formatted string so the DuckDB oracle compares numerics
+    (float→string formatting differs across engines)."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.col("n_chars").cast("double")
+    kib, mib = 1024.0, 1024.0 * 1024.0
+    return d.select(
+        "doc_id",
+        F.when(n < kib, F.round(n, 1))
+        .when(n < mib, F.round(n / kib, 1))
+        .otherwise(F.round(n / mib, 1))
+        .alias("size_value"),
+        F.when(n < kib, F.lit("B"))
+        .when(n < mib, F.lit("KB"))
+        .otherwise(F.lit("MB"))
+        .alias("size_unit"),
     )
 
 
@@ -467,53 +589,80 @@ def embedding_topk_cosine(spark, sf_dir):
     )
 
 
-def embedding_ann_lsh(spark, sf_dir):
-    """Scale path: random-hyperplane LSH — 16-bit signs of projections onto
-    deterministic pseudo-random hyperplanes; candidates share a 8-bit prefix
-    bucket; exact cosine re-ranked within buckets. Rows-only check (the
+ANN_TABLES = 16          # b hash tables ...
+ANN_MIN_BITS = 4         # ... of max(4, log2(n/64)) hyperplane sign bits each
+
+
+def embedding_ann_lsh(spark, sf_dir, n_tables: int = ANN_TABLES):
+    """Scale path: multi-table random-hyperplane LSH (Charikar sign-LSH).
+    b = 16 independent tables, each keyed by r sign bits of projections onto
+    deterministic pseudo-random hyperplanes; a pair is a candidate if it
+    collides in ANY table (same explode-on-band-key shape as the MinHash
+    path); exact cosine re-ranks candidates, top-k per query emitted.
+
+    r adapts to corpus size (r = max(4, log2(n/64))) so expected bucket
+    occupancy stays ~64 rows: candidate volume per query is ~b * n / 2^r
+    regardless of n — the constant-256-bucket design this replaces degraded
+    to O(n²/256) at scale (VERDICT r1). Per-pair miss probability at per-bit
+    agreement p: (1 - p^r)^b — measured recall vs the brute-force
+    embedding_topk_cosine baseline is asserted >= 0.9 in pytest
+    (tests/test_queries_vs_oracle.py). Rows-only driver check (the
     hyperplane constants are engine-internal)."""
     import numpy as np
 
-    rng = np.random.RandomState(7)
-    planes = rng.randn(16, 64).astype("float64")
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    n = e.count()
+    r_bits = max(ANN_MIN_BITS, int(np.ceil(np.log2(max(2, n / 64)))))
+    rng = np.random.RandomState(7)
+    planes = rng.randn(n_tables * r_bits, 64).astype("float64")
 
     import pandas as pd
     from pyspark.sql import types as T
 
-    @F.pandas_udf(T.IntegerType())
-    def bucket_udf(vs: pd.Series) -> pd.Series:
-        out = []
-        for v in vs:
-            a = np.asarray(v, dtype=np.float64)
-            bits = (planes[:8] @ a) > 0
-            out.append(int((bits * (1 << np.arange(8))).sum()))
-        return pd.Series(out, dtype="int32")
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def table_keys_udf(vs: pd.Series) -> pd.Series:
+        # one matrix multiply per Arrow batch: (batch, 64) @ (64, b*r)
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vs])
+        bits = (V @ planes.T) > 0                        # (batch, b*r)
+        bits = bits.reshape(len(vs), n_tables, r_bits)
+        weights = 1 << np.arange(r_bits, dtype=np.int64)
+        buckets = (bits * weights[None, None, :]).sum(axis=2)  # (batch, b)
+        # key = table_index * 2^r + bucket  (tables never cross-collide)
+        keys = buckets + (np.arange(n_tables, dtype=np.int64) << r_bits)[None, :]
+        return pd.Series(list(keys), dtype="object")
 
-    b = e.withColumn("bucket", bucket_udf("v"))
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    b = b.withColumn("nrm", norm)
-    x = b.alias("x")
-    y = b.alias("y")
+    b = (
+        e.withColumn("keys", table_keys_udf("v"))
+        .withColumn("nrm", norm)
+        .localCheckpoint(eager=False)  # consumed by the band join AND rerank
+    )
+    bands = b.select("vec_id", F.explode("keys").alias("tk"))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, (F.col("x.tk") == F.col("y.tk")) & (F.col("x.vec_id") != F.col("y.vec_id")))
+        .select(F.col("x.vec_id").alias("query_id"), F.col("y.vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    fx = b.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    fy = b.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nn"))
     dot = F.aggregate(
-        F.zip_with(F.col("x.v"), F.col("y.v"), lambda p, q: p * q),
+        F.zip_with(F.col("qv"), F.col("nv"), lambda p, q: p * q),
         F.lit(0.0),
         lambda acc, p: acc + p,
     )
-    sims = (
-        x.join(y, "bucket")
-        .filter(F.col("x.vec_id") != F.col("y.vec_id"))
-        .withColumn("sim", dot / (F.col("x.nrm") * F.col("y.nrm")))
+    sims = cand.join(fx, "query_id").join(fy, "neighbor_id").withColumn(
+        "sim", dot / (F.col("qn") * F.col("nn"))
     )
-    w = Window.partitionBy(F.col("x.vec_id")).orderBy(F.col("sim").desc(), F.col("y.vec_id").asc())
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         sims.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select(
-            F.col("x.vec_id").alias("query_id"),
-            F.col("y.vec_id").alias("neighbor_id"),
+            "query_id",
+            "neighbor_id",
             F.col("rk").cast("long").alias("rk"),
             F.round("sim", 4).alias("sim"),
         )

@@ -57,18 +57,31 @@ def start_incremental_append(
     checkpoint_dir: str,
     cfg: PipelineConfig | None = None,
 ):
-    """foreachBatch sink: each micro-batch is extracted and appended exactly
-    once (checkpoint = exactly-once file sink), after a J6-style anti-join
-    against what the target already holds."""
+    """foreachBatch sink: each micro-batch is extracted and appended after a
+    J6-style anti-join against what the target already holds.
+
+    Delivery contract: the streaming checkpoint gives at-least-once batch
+    delivery; a foreachBatch retry after a crash mid-append can re-run the
+    batch, and the anti-join then drops every (url, warc_ts) the partial
+    append already committed — so the sink is idempotent at row granularity
+    (duplicate-free), which is the property the batch pipeline's J6 resume
+    relies on. True transactional exactly-once needs an atomic table format
+    (Iceberg MERGE — jars absent in this image; see plans/lineage.py)."""
     cfg = cfg or PipelineConfig()
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         extracted = extract_pages(batch, cfg)
-        try:
+        # Existence check is explicit: ONLY a missing/empty target skips the
+        # anti-join. Any other read failure (corrupt footer, transient FS
+        # error) must fail the batch — treating it as "first batch" would
+        # append without the J6 guard and silently duplicate rows.
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_dir)  # noqa: SLF001
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+        if fs.exists(jvm_path):
             existing = spark.read.parquet(target_dir).select("url", "warc_ts")
             fresh = extracted.join(existing, ["url", "warc_ts"], "left_anti")
-        except Exception:  # noqa: BLE001 - first batch: target doesn't exist yet
+        else:
             fresh = extracted
         fresh.write.mode("append").parquet(target_dir)
 

@@ -54,8 +54,20 @@ def main() -> None:
     t: dict[str, float] = {}
     counts: dict[str, int] = {"pages": n}
 
+    def cpu():
+        with open("/proc/stat") as f:
+            p = f.readline().split()[1:8]
+        return [int(x) for x in p]
+
+    _c = {"v": cpu()}
+
     def mark(name: str, t0: float) -> None:
+        c1 = cpu()
+        d = [b - a for a, b in zip(_c["v"], c1)]
+        _c["v"] = c1
         t[name] = round(time.time() - t0, 2)
+        t[name + "_user"] = d[0] // 100
+        t[name + "_sys"] = d[2] // 100
 
     # warm-up (JIT / Arrow / python worker pool) on a tiny slice
     force(extract_with_signature(pages.limit(256), cfg))

@@ -14,10 +14,13 @@ import subprocess
 import sys
 import time
 
-PAGES_DIR = "/tmp/scaling_pages_v2"
-N_BASE = 400_000  # ~400k pages: Python-UDF compute (~0.8 ms/doc) must dominate
-                  # the fixed per-stage scheduling/AQE latency (~6 s) for the
-                  # core-scaling signal to be measurable
+PAGES_DIR = "/tmp/scaling_pages_v3"
+N_BASE = 1_200_000  # ~1.2M pages: the parallel fraction (Python featurize +
+                    # JVM hash/blocking, ~1.2k core-seconds) must dominate the
+                    # fixed per-run latency (stage scheduling, CC driver loop,
+                    # cache barriers, ~10-15 s) for the core-scaling signal to
+                    # be measurable; at 400k pages fixed costs capped
+                    # efficiency at ~0.55 regardless of per-stage scaling
 
 
 def ensure_corpus() -> str:
@@ -45,9 +48,9 @@ def ensure_corpus() -> str:
     return PAGES_DIR
 
 
-def run_level(cores: int, inp: str) -> dict:
+def run_level_n(cores: int, inp: str, runs: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "scripts/pipeline_time.py", str(cores), inp],
+        [sys.executable, "scripts/pipeline_time.py", str(cores), inp, str(runs)],
         capture_output=True,
         text=True,
         timeout=3600,
@@ -64,51 +67,61 @@ def main() -> None:
     else:
         sf_dir = ensure_corpus()
         inp = f"pages:{sf_dir}"
-    # local[4] vs local[16]: each Spark core drives a JVM executor thread AND
-    # an Arrow/pandas Python worker, so local[N] occupies ~2N hardware threads.
-    # On this 32-core box 4→16 is the largest 4x step where BOTH levels fit in
-    # physical cores; 8→32 would measure 2x oversubscription, not scaling.
-    lo = run_level(4, inp)
-    hi = run_level(16, inp)
-    eff = (lo["secs"] / hi["secs"]) / (16 / 4)
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # Primary pair: local[8] vs local[32] — exactly what BASELINE.md asks for.
+    # Secondary pair: local[4] vs local[16] (round 1's substitution), reported
+    # so the deviation isn't load-bearing (VERDICT r1). Separate JVMs per
+    # level; warm-up + best-of-N per level; caches cleared between runs.
+    levels = {c: run_level_n(c, inp, runs) for c in (4, 8, 16, 32)}
+    eff_8_32 = (levels[8]["secs"] / levels[32]["secs"]) / 4
+    eff_4_16 = (levels[4]["secs"] / levels[16]["secs"]) / 4
     summary = {
         "sf_dir": sf_dir,
-        "n_pages": hi["n_pages"],
-        "local4": lo,
-        "local16": hi,
-        "speedup_4_to_16": round(lo["secs"] / hi["secs"], 3),
-        "scaling_efficiency": round(eff, 3),
+        "n_pages": levels[32]["n_pages"],
+        "levels": levels,
+        "speedup_8_to_32": round(levels[8]["secs"] / levels[32]["secs"], 3),
+        "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+        "speedup_4_to_16": round(levels[4]["secs"] / levels[16]["secs"], 3),
+        "scaling_efficiency_4_to_16": round(eff_4_16, 3),
         "target": 0.8,
         "measured_at": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
     }
     print(json.dumps(summary))
 
+    rows = "\n".join(
+        f"| local[{c}] | {levels[c]['secs']} | {levels[c]['pages_per_sec']} |"
+        for c in (4, 8, 16, 32)
+    )
     md = f"""# BENCH — throughput & scaling evidence
 
-Pipeline: extract → block (exact/quick/url/MinHash-LSH) → score (Jaccard
-verify) → cluster (connected components) → resolve, over a deterministic
-synthetic pages corpus in the input_hint shape ({hi['n_pages']} rows, seed 42,
-{sf_dir}).
+Pipeline: extract+featurize (one fused Arrow UDF) → block
+(exact/quick/url/MinHash-LSH, salted) → score (Jaccard + SimHash verify) →
+cluster (connected components) → resolve, over a deterministic synthetic pages
+corpus in the input_hint shape ({levels[32]['n_pages']} rows, seed 42, {sf_dir}).
 
 No real cluster exists in this sandbox, so per BASELINE.md the two-cluster-size
 criterion is evidenced at two local parallelism levels on the same input
-(best of 3 timed runs after a warm-up, per level, separate JVMs):
+(warm-up + best of {runs} timed runs per level, separate JVMs, stage caches
+cleared between runs so every run pays the full extract→resolve cost):
 
 | level | wall-clock (s) | pages/sec |
 |---|---|---|
-| local[4]  | {lo['secs']} | {lo['pages_per_sec']} |
-| local[16] | {hi['secs']} | {hi['pages_per_sec']} |
+{rows}
 
-* speedup 4→16 cores: **{summary['speedup_4_to_16']}×** (ideal 4×)
-* scaling efficiency: **{summary['scaling_efficiency']}** (target ≥ 0.8)
+* **primary (BASELINE.md pair): local[8] → local[32] speedup
+  {summary['speedup_8_to_32']}× (ideal 4×), efficiency
+  {summary['scaling_efficiency_8_to_32']}** (target ≥ 0.8)
+* secondary: local[4] → local[16] speedup {summary['speedup_4_to_16']}×,
+  efficiency {summary['scaling_efficiency_4_to_16']}
 
 Caveats reported honestly: local mode shares one JVM/driver; shuffles are
 in-process (no network), so this measures the job's ability to keep N cores
 busy (partitioning balance, absence of driver-side serialization), not network
-shuffle behavior. The 4→16 step (not 8→32) is used because every Spark core
-drives a JVM thread plus an Arrow/pandas Python worker — local[32] occupies
-~64 hardware threads on a 32-core box and measures oversubscription, not
-scaling. Skew handling (salting/caps) is separately unit-tested.
+shuffle behavior. Round-2 scaling work that made these numbers possible (each
+measured on this box, see session.py / pipeline.py comments): ICU collation
+init serializing first-stage tasks; mmap'd shuffle blocks and glibc/jemalloc
+mmap churn firing TLB-shootdown storms (kernel time 6× user time); pinned JVM
+heap; eager stage barriers stopping AQE cache races.
 
 Measured: {summary['measured_at']}
 
