@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "exact_dup_clusters_documents",
     "minhash_lsh_near_dup",
     "simhash_hamming_pairs",
+    "simhash_banded_near_dup",
     "connected_components_docs",
     "lang_id_documents",
     "quality_scores_documents",

@@ -35,7 +35,7 @@ from dedupe_archived_files_spark.config import PipelineConfig
 from dedupe_archived_files_spark.functions.text import normalize_url
 from dedupe_archived_files_spark.operators.extract import eligible
 
-_CK_TYPE = "array<struct<channel:string,key:string>>"
+_CK_TYPE = "array<struct<channel:string,key:bigint>>"
 
 
 def with_signature(pages_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -72,11 +72,19 @@ def with_signature(pages_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def block_keys(pages_sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """One row per (url, channel, key). Null keys are dropped.
+    """One row per (url, channel, key) with key a 64-BIT LONG. Null keys drop.
 
     ONE scan of the (columnar-cached, column-pruned) signature frame and one
     explode — the per-channel union formulation scanned the stage output four
-    times, which dominated the blocking stage's wall-clock at 400k pages."""
+    times, which dominated the blocking stage's wall-clock at 400k pages.
+
+    Keys are numeric: LSH band keys are native longs, and the string channels
+    (md5 hex hashes, normalized urls) are folded through xxhash64. Grouping /
+    shuffling / joining 30+ key rows per doc on 8-byte longs beats string
+    keys by both shuffle bytes and hash-agg throughput. Folding is
+    deterministic, so a true block never splits (no false negatives); a
+    64-bit collision merging two blocks is harmless — every candidate pair is
+    verified downstream (J3)."""
     base = pages_sig.filter(eligible(cfg))
     nu = F.col("norm_url") if "norm_url" in pages_sig.columns else normalize_url(F.col("url"))
     empty = F.lit(None).cast(_CK_TYPE)
@@ -85,19 +93,17 @@ def block_keys(pages_sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
         return F.struct(F.lit(channel).alias("channel"), key.alias("key"))
 
     arr = F.concat(
-        F.array(entry("exact", F.col("full_hash"))),
+        F.array(entry("exact", F.xxhash64(F.col("full_hash")))),
         F.coalesce(
             F.when(
                 F.col("quick_hash").isNotNull(),
-                F.array(entry("quick", F.col("quick_hash"))),
+                F.array(entry("quick", F.xxhash64(F.col("quick_hash")))),
             ),
             F.lit([]).cast(_CK_TYPE),
         ),
-        F.array(entry("url", nu)),
+        F.array(entry("url", F.xxhash64(nu))),
         F.coalesce(
-            F.transform(
-                F.col("band_keys"), lambda bk: entry("minhash", bk.cast("string"))
-            ),
+            F.transform(F.col("band_keys"), lambda bk: entry("minhash", bk)),
             F.lit([]).cast(_CK_TYPE),
         ),
     )
@@ -110,10 +116,12 @@ def block_keys(pages_sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 def oversized_blocks(keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Blocks whose row count exceeds the cap — excluded from pair generation,
-    surfaced for lineage (north rule: caps must be logged, not silent)."""
+    surfaced for lineage (north rule: caps must be logged, not silent).
+    `sample_url` (min member) identifies the offending content class — more
+    useful in a report than the opaque 64-bit key."""
     return (
         keys.groupBy("channel", "key")
-        .agg(F.count("*").alias("n_rows"))
+        .agg(F.count("*").alias("n_rows"), F.min("url").alias("sample_url"))
         .filter(F.col("n_rows") > cfg.max_block_size)
     )
 
@@ -147,8 +155,13 @@ def candidate_pairs(
     """
     cell = max(2, -(-cfg.max_block_size // max(1, cfg.salt_buckets)))  # ceil div
     keys = block_keys(pages_sig, cfg).filter(F.col("channel").isin(*channels))
-    # consumed by the count pass AND the bucket build — pin to one execution
-    keys = keys.persist()
+    # NOT persisted: the two consumers (count agg + bucket probe) each
+    # regenerate keys with one column-pruned scan of the cached signature
+    # frame + an explode — cheaper than building a columnar cache of the
+    # exploded key table (rows × bands string rows; measured 2x
+    # candidate-stage wall at 1.2M pages). When the planner picks a shuffle
+    # join over broadcast, the (channel, key) exchange is shared via
+    # ReusedExchange and keys compute only once anyway.
     # count pre-filter (codegen HashAggregate): only keys with 2..cap members
     # survive, so no member list is ever BUILT for a singleton or a viral
     # bucket — memory per group stays bounded by cfg.max_block_size

@@ -91,7 +91,15 @@ def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> Pipelin
     # consumer must fully deserialize (measured 2x blocking-stage cost at
     # 400k pages). On a real deployment these pins are the per-stage parquet
     # writes of run_pipeline_checkpointed (same pruning property).
-    sig = extract_with_signature(pages, cfg).persist()
+    full = extract_with_signature(pages, cfg)
+    # The pipeline's working frame is SLIM: `text` (the fattest column) and
+    # `signature` (1 KB/row; band_keys already encode the LSH view of it) are
+    # dropped before the cache — matching never reads either, and the
+    # columnar cache build was dominated by them at 1.2M pages. The
+    # full-width frame stays available lazily as pages_text (re-runs the
+    # extract UDF if scanned — on a real deployment it is the stage-1 parquet
+    # table, where the pipeline reads only the slim columns anyway).
+    sig = full.drop("text", "signature").persist()
     # Eager stage barrier: downstream subtrees (block keys / exact groups /
     # feature join) are INDEPENDENT query stages that AQE submits
     # concurrently; against an unmaterialized cache each would recompute the
@@ -99,7 +107,7 @@ def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> Pipelin
     # already exists" races). One cheap count() builds the cache exactly once.
     sig.count()
     _mark("sig_build")
-    pages_text = sig
+    pages_text = full
 
     cand = candidate_pairs(sig, cfg).persist()
     # same barrier rationale: cand feeds the pair join AND the url semi-join
@@ -109,7 +117,7 @@ def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> Pipelin
     _mark("cand_build")
     scored = pair_features(sig, cand)
     near_edges = verified_edges(scored, cfg)
-    exact_edges = exact_star_edges(pages_text, cfg)
+    exact_edges = exact_star_edges(sig, cfg)
     # Materialize edges once: the CC loop and any downstream consumer would
     # otherwise re-run extraction + blocking + scoring per action.
     edges = (

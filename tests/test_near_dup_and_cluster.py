@@ -138,7 +138,7 @@ def test_hot_key_block_capped(spark, pages_dfs):
     sig = with_signature(extract_pages(pages, cfg), cfg)
     keys = block_keys(sig, cfg)
     big = oversized_blocks(keys, cfg)
-    hot = big.filter(F.col("key").contains("hot.example.com")).collect()
+    hot = big.filter(F.col("sample_url").contains("hot.example.com")).collect()
     assert hot and hot[0]["n_rows"] >= 100
     # no candidate pair from the capped url channel block
     cand = candidate_pairs(sig, cfg)
