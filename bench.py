@@ -70,20 +70,34 @@ def main() -> None:
         for name, fn in vars(Q).items()
         if callable(fn) and name in BENCH_QUERIES
     }
+    # Contention-proof protocol (VERDICT r2 #1): per query, one warm-up run
+    # (JIT/codegen/Arrow init) then best-of-2 timed runs, with clearCache() +
+    # gc.collect() between runs so one query's persisted stages / checkpoint
+    # pins never ride into the next query's measurement.
+    import gc
+
+    def timed_best(thunk, runs: int = 2) -> float:
+        spark.catalog.clearCache()
+        gc.collect()
+        thunk()  # warm-up
+        best = float("inf")
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            gc.collect()
+            t0 = time.time()
+            thunk()
+            best = min(best, time.time() - t0)
+        return best
+
     for name in BENCH_QUERIES:
         fn = all_q[name]
-        t0 = time.time()
-        force(fn(spark, sf_dir))
-        results[name] = round(time.time() - t0, 3)
+        results[name] = round(timed_best(lambda: force(fn(spark, sf_dir))), 3)
 
     # end-to-end pipeline: extract → block → score → cluster → resolve
     pages = docs_as_pages(spark, sf_dir)
     n_pages = pages.count()
     cfg = PipelineConfig(tau_jaccard=0.9)
-    t0 = time.time()
-    res = run_pipeline(pages, cfg)
-    force(res.clusters)
-    pipeline_sec = time.time() - t0
+    pipeline_sec = timed_best(lambda: force(run_pipeline(pages, cfg).clusters))
     results["pipeline_documents"] = round(pipeline_sec, 3)
 
     sf = None

@@ -43,6 +43,21 @@ def _perm_params(k: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _perm_params64(k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Dietzfelbinger multiply-shift parameters for the FULL-WIDTH path
+    ((a*x + b) mod 2^64 >> 32): a must be a random ODD uint64 and b a random
+    uint64 so b's high bits land inside the kept output window. (The 31-bit
+    `_perm_params` family is only for the mod-prime path, where a*h must stay
+    below 2^63.)"""
+    rng = np.random.RandomState(_SEED ^ 0xD1E7)
+    lo = rng.randint(0, 2**32, size=2 * k).astype(np.uint64)
+    hi = rng.randint(0, 2**32, size=2 * k).astype(np.uint64)
+    full = (hi << np.uint64(32)) | lo
+    a = full[:k] | np.uint64(1)  # odd
+    b = full[k:]
+    return a, b
+
+
 def shingle_base_hashes(shingles_col: Column) -> Column:
     """array<string> shingles → array<long> 64-bit base hashes, JVM-side.
 
@@ -114,7 +129,10 @@ def make_shingle_hash_udf(k: int):
 #   sig[p]     = min over shingles of ((a_p * sh + b_p) mod 2^64) >> 32 —
 #                multiply-shift universal hashing (Dietzfelbinger et al.):
 #                the same k-permutation MinHash estimator as round 1 but with
-#                no uint64 modulo in the hot loop (~2x per-core throughput)
+#                no uint64 modulo in the hot loop (~2x per-core throughput).
+#                v3: a_p is a random ODD uint64, b_p a random uint64 (the v2
+#                params reused the 31-bit mod-prime family, whose b was
+#                discarded by the >>32 — weaker than the cited family)
 #   band_keys  = per-band polynomial fold of signature slices + band salt
 #   simhash    = 64-bit bit-vote over the (distinct) SHINGLE hash set.
 #                Shingle basis, not token basis: token-level simhash collapses
@@ -123,7 +141,7 @@ def make_shingle_hash_udf(k: int):
 #                hamming 0-3 — indistinguishable from duplicates — while
 #                shingle hamming separates cleanly: near-dups 3-10 vs hard
 #                negatives 13-35 of 64 bits)
-SIGNATURE_SPACE = "msh128.pdhash.v2"
+SIGNATURE_SPACE = "msh128.pdhash.v3"
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
@@ -151,7 +169,7 @@ def featurize_texts(
     (None = quarantined row). Returns per-doc lists:
     (shingle_sets, signatures, band_keys, simhashes)."""
     r = perms // bands
-    a, b = _perm_params(perms)
+    a, b = _perm_params64(perms)
     cs = _shingle_consts(k)
     bc, bidx = _band_consts(bands, r)
     n_docs = len(texts)

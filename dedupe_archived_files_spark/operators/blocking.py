@@ -92,8 +92,17 @@ def block_keys(pages_sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
     def entry(channel: str, key) -> F.Column:
         return F.struct(F.lit(channel).alias("channel"), key.alias("key"))
 
+    # Every channel is null-guarded: Spark's xxhash64 maps NULL input to the
+    # seed constant (not NULL), so an unguarded fold would collapse ALL
+    # null-keyed rows into one shared constant-key block per channel.
     arr = F.concat(
-        F.array(entry("exact", F.xxhash64(F.col("full_hash")))),
+        F.coalesce(
+            F.when(
+                F.col("full_hash").isNotNull(),
+                F.array(entry("exact", F.xxhash64(F.col("full_hash")))),
+            ),
+            F.lit([]).cast(_CK_TYPE),
+        ),
         F.coalesce(
             F.when(
                 F.col("quick_hash").isNotNull(),
@@ -101,7 +110,10 @@ def block_keys(pages_sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
             ),
             F.lit([]).cast(_CK_TYPE),
         ),
-        F.array(entry("url", F.xxhash64(nu))),
+        F.coalesce(
+            F.when(nu.isNotNull(), F.array(entry("url", F.xxhash64(nu)))),
+            F.lit([]).cast(_CK_TYPE),
+        ),
         F.coalesce(
             F.transform(F.col("band_keys"), lambda bk: entry("minhash", bk)),
             F.lit([]).cast(_CK_TYPE),
@@ -129,7 +141,17 @@ def oversized_blocks(keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def candidate_pairs(
     pages_sig: DataFrame, cfg: PipelineConfig, channels: tuple[str, ...] = ("quick", "url", "minhash")
 ) -> DataFrame:
-    """Distinct unordered candidate pairs from the probabilistic channels.
+    """Distinct unordered candidate pairs (see blocking_products)."""
+    return blocking_products(pages_sig, cfg, channels)[0]
+
+
+def blocking_products(
+    pages_sig: DataFrame, cfg: PipelineConfig, channels: tuple[str, ...] = ("quick", "url", "minhash")
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs, oversized-block report) from ONE per-key count
+    aggregation — both outputs hang off the same (channel, key) agg subtree,
+    so a plan that evaluates them together shares the exchange
+    (ReusedExchange) instead of re-scanning + re-exploding the key table.
 
     Physical shape: ONE shuffle of the key table. Keys are hash-aggregated
     into per-bucket member arrays (ObjectHashAggregate — no sort), singleton
@@ -154,7 +176,8 @@ def candidate_pairs(
     bounded by cfg.max_block_size within probabilistic blocks only.
     """
     cell = max(2, -(-cfg.max_block_size // max(1, cfg.salt_buckets)))  # ceil div
-    keys = block_keys(pages_sig, cfg).filter(F.col("channel").isin(*channels))
+    all_keys = block_keys(pages_sig, cfg)
+    keys = all_keys.filter(F.col("channel").isin(*channels))
     # NOT persisted: the two consumers (count agg + bucket probe) each
     # regenerate keys with one column-pruned scan of the cached signature
     # frame + an explode — cheaper than building a columnar cache of the
@@ -164,11 +187,22 @@ def candidate_pairs(
     # ReusedExchange and keys compute only once anyway.
     # count pre-filter (codegen HashAggregate): only keys with 2..cap members
     # survive, so no member list is ever BUILT for a singleton or a viral
-    # bucket — memory per group stays bounded by cfg.max_block_size
+    # bucket — memory per group stays bounded by cfg.max_block_size.
+    # sample_url (min member) rides along for the oversized report — same agg,
+    # no second scan.
+    # counts cover ALL channels (the oversized report includes exact-channel
+    # viral groups, which pair generation is exempt from); kept re-applies the
+    # channel filter for the probabilistic pair path
+    counts = all_keys.groupBy("channel", "key").agg(
+        F.count("*").alias("n_rows"), F.min("url").alias("sample_url")
+    )
+    oversized = counts.filter(F.col("n_rows") > cfg.max_block_size)
     kept = (
-        keys.groupBy("channel", "key")
-        .agg(F.count("*").alias("n_rows"))
-        .filter((F.col("n_rows") >= 2) & (F.col("n_rows") <= cfg.max_block_size))
+        counts.filter(
+            F.col("channel").isin(*channels)
+            & (F.col("n_rows") >= 2)
+            & (F.col("n_rows") <= cfg.max_block_size)
+        )
         .select("channel", "key")
     )
     buckets = (
@@ -224,8 +258,9 @@ def candidate_pairs(
         )
     )
 
-    return (
+    pairs = (
         small_pairs.unionByName(salted_pairs)
         .groupBy("url_a", "url_b")
         .agg(F.array_sort(F.collect_set("channel")).alias("channels"))
     )
+    return pairs, oversized.select("channel", "key", "n_rows", "sample_url")

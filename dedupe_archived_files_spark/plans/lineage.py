@@ -50,16 +50,47 @@ class CheckpointStore:
             json.dump({"stage": stage, "committed_at": time.time()}, f)
         return out
 
-    def read_stage(self, stage: str) -> DataFrame:
+    def read_stage(self, stage: str, require_sig_space: bool = False) -> DataFrame:
         if not self.is_committed(stage):
             raise FileNotFoundError(f"stage '{stage}' is not committed")
-        return self.spark.read.parquet(self._dir(stage))
+        df = self.spark.read.parquet(self._dir(stage))
+        # Signature-space guard: a checkpoint written under a DIFFERENT
+        # feature derivation (older engine version; foreign job) must not
+        # resume silently — its band keys / simhash are join-incompatible
+        # with freshly computed ones and the miss is a silent false negative.
+        # One-row probe, not a scan: stages commit atomically, so every row
+        # carries the same stamp.
+        from dedupe_archived_files_spark.functions.minhash import SIGNATURE_SPACE
 
-    def resume_or_compute(self, stage: str, compute, key_col: str | None = None) -> DataFrame:
+        if "sig_space" in df.columns:
+            row = df.select("sig_space").first()
+            found = row[0] if row is not None else None
+            if found is not None and found != SIGNATURE_SPACE:
+                raise ValueError(
+                    f"checkpoint stage '{stage}' was written under signature "
+                    f"space '{found}' but this engine derives "
+                    f"'{SIGNATURE_SPACE}' — delete the stage (or its marker) "
+                    f"to recompute it"
+                )
+        elif require_sig_space:
+            raise ValueError(
+                f"checkpoint stage '{stage}' has no sig_space column (written "
+                f"by an engine predating signature-space stamping) — delete "
+                f"the stage to recompute under '{SIGNATURE_SPACE}'"
+            )
+        return df
+
+    def resume_or_compute(
+        self,
+        stage: str,
+        compute,
+        key_col: str | None = None,
+        require_sig_space: bool = False,
+    ) -> DataFrame:
         """The resume primitive: committed → read back (skip recompute,
         reference J6 semantics); else compute, commit, return."""
         if self.is_committed(stage):
-            return self.read_stage(stage)
+            return self.read_stage(stage, require_sig_space=require_sig_space)
         return self.write_stage(stage, compute(), key_col)
 
     # -- lineage --------------------------------------------------------------
@@ -99,13 +130,22 @@ class CheckpointStore:
         # dynamic partition overwrite keyed by stage: a crash between this
         # write and the marker makes the rerun REPLACE this stage's lineage
         # rows instead of re-appending duplicates — the idempotent-overwrite
-        # contract now covers lineage, not just stage data
+        # contract now covers lineage, not just stage data. Written under a
+        # VERSIONED subdir (_lineage_v2): the pre-partitioned layout wrote
+        # flat parquet files into _lineage/, and mixing those with stage=<x>/
+        # subdirs breaks partition discovery. Contract: lineage() reflects the
+        # CURRENT committed state of each stage (committed_at/snapshot_id say
+        # when); it is not an append-only history log.
         (
             lineage.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("stage")
-            .parquet(os.path.join(self.root, "_lineage"))
+            .parquet(os.path.join(self.root, "_lineage_v2"))
         )
 
     def lineage(self) -> DataFrame:
+        v2 = os.path.join(self.root, "_lineage_v2")
+        if os.path.exists(v2):
+            return self.spark.read.parquet(v2)
+        # legacy layout (flat, unpartitioned) — readable for old roots
         return self.spark.read.parquet(os.path.join(self.root, "_lineage"))

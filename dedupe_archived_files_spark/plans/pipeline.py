@@ -22,9 +22,8 @@ from pyspark.sql import functions as F
 
 from dedupe_archived_files_spark.config import PipelineConfig
 from dedupe_archived_files_spark.operators.blocking import (
-    block_keys,
+    blocking_products,
     candidate_pairs,
-    oversized_blocks,
 )
 from dedupe_archived_files_spark.operators.clustering import (
     connected_components,
@@ -109,7 +108,8 @@ def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> Pipelin
     _mark("sig_build")
     pages_text = full
 
-    cand = candidate_pairs(sig, cfg).persist()
+    cand, big = blocking_products(sig, cfg)
+    cand = cand.persist()
     # same barrier rationale: cand feeds the pair join AND the url semi-join
     # prune — two subtrees of one downstream query that AQE schedules
     # concurrently, each otherwise recomputing the whole blocking subtree
@@ -132,7 +132,6 @@ def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> Pipelin
     labels = connected_components(edges.select("url_a", "url_b"), cfg)
     _mark("cc")
     clusters = resolve_clusters(labels)
-    big = oversized_blocks(block_keys(sig, cfg), cfg)
     return PipelineResult(
         pages_text=pages_text,
         candidates=cand,
@@ -163,8 +162,15 @@ def run_pipeline_checkpointed(
     # the committed stage IS the fused extract+signature output (parquet with
     # the hash/shingle/signature columns), so a resumed run skips the Python
     # UDF work entirely
+    # require_sig_space: a resumed featurized checkpoint MUST carry the
+    # engine's current signature-space stamp — an old-derivation checkpoint
+    # (or one predating the stamp) would silently disable the simhash gate
+    # and produce join-incompatible band keys.
     pages_text = store.resume_or_compute(
-        "pages_text", lambda: extract_with_signature(pages, cfg), key_col="full_hash"
+        "pages_text",
+        lambda: extract_with_signature(pages, cfg),
+        key_col="full_hash",
+        require_sig_space=True,
     )
 
     def _edges() -> DataFrame:

@@ -77,6 +77,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # count(*)/min/max over plain parquet answered from footer row-group
+        # stats instead of a data scan (used by the ANN's corpus-size probe)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # collect_list/collect_set aggregations over millions of groups:
         # the default ObjectHashAggregate fallback (128 in-memory keys per
         # partition!) silently degrades to sort-based aggregation — the exact

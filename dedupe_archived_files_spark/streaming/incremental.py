@@ -76,9 +76,20 @@ def start_incremental_append(
         # anti-join. Any other read failure (corrupt footer, transient FS
         # error) must fail the batch — treating it as "first batch" would
         # append without the J6 guard and silently duplicate rows.
+        # "Empty" means no COMMITTED data file: a crash during the very first
+        # append can leave target_dir holding only _temporary/ — dir-existence
+        # alone would then wedge the stream forever on "unable to infer
+        # schema". Hidden entries (_temporary, _SUCCESS, .crc) don't count.
         jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_dir)  # noqa: SLF001
         fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+        has_data = False
         if fs.exists(jvm_path):
+            for st in fs.listStatus(jvm_path):
+                name = st.getPath().getName()
+                if st.isFile() and not name.startswith(("_", ".")):
+                    has_data = True
+                    break
+        if has_data:
             existing = spark.read.parquet(target_dir).select("url", "warc_ts")
             fresh = extracted.join(existing, ["url", "warc_ts"], "left_anti")
         else:
