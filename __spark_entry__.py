@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings / ANN
         "embedding_topk_cosine": Q.embedding_topk_cosine,
         "embedding_ann_lsh": Q.embedding_ann_lsh,
+        "embedding_cosine_near_dup": Q.embedding_cosine_near_dup,
         # multimodal plumbing
         "multimodal_binary_meta": Q.multimodal_binary_meta,
     }
@@ -321,6 +322,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # embedding_ann_lsh: intentionally no oracle (engine-internal hyperplane
         # constants) → driver records the weaker rows-only check.
+        "embedding_cosine_near_dup": """
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            n AS (
+              SELECT vec_id, label, v,
+                     sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+              FROM e
+            )
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_aggregate(
+                           list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                           'sum') / (a.nrm * b.nrm), 4) AS sim
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_aggregate(
+                    list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                    'sum') / (a.nrm * b.nrm) >= 0.3
+        """,
         "multimodal_binary_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS content_md5, (text LIKE '<%') AS looks_html

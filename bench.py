@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "tumbling_window_counts",
     "embedding_topk_cosine",
     "embedding_ann_lsh",
+    "embedding_cosine_near_dup",
     "multimodal_binary_meta",
 ]
 

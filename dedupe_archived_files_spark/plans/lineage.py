@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,6 +93,71 @@ class CheckpointStore:
         if self.is_committed(stage):
             return self.read_stage(stage, require_sig_space=require_sig_space)
         return self.write_stage(stage, compute(), key_col)
+
+    # -- upsert (MERGE INTO analogue) -----------------------------------------
+    def upsert_stage(self, stage: str, df: DataFrame, merge_keys: list[str]) -> DataFrame:
+        """MERGE-shaped upsert: rows of ``df`` REPLACE committed rows sharing
+        the same ``merge_keys`` values; unmatched rows append. On Iceberg this
+        whole method is one transactional statement::
+
+            MERGE INTO tgt USING src ON <merge_keys>
+            WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+
+        The parquet implementation makes the same contract out of
+        anti-join + union + an atomic directory swap:
+
+        1. merged = (existing ⟕̸ src on keys) ∪ src  → written to a sibling
+           ``.__merge_tmp`` dir (full result, _SUCCESS on completion);
+        2. marker removed (stage now formally uncommitted);
+        3. old dir removed, tmp renamed into place (atomic on POSIX);
+        4. lineage + marker rewritten.
+
+        Kill-safety: a crash before (3) leaves the old committed data intact
+        (tmp is garbage, retried from scratch); a crash during/after (3) is
+        recovered by the completed-tmp check below — the tmp dir holds the
+        full merge result, so the retry finishes the swap instead of treating
+        the stage as fresh (which would drop the pre-merge rows)."""
+        path = self._dir(stage)
+        tmp = path + ".__merge_tmp"
+        marker = self._marker(stage)
+
+        # crash recovery: a completed tmp (has _SUCCESS) + missing marker
+        # means a previous upsert died mid-swap — finish it first, then merge
+        # df on top of the recovered state.
+        if (
+            not self.is_committed(stage)
+            and os.path.exists(os.path.join(tmp, "_SUCCESS"))
+        ):
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+            recovered = self.spark.read.parquet(path)
+            self._write_lineage(stage, recovered, merge_keys[0])
+            with open(marker, "w") as f:
+                json.dump({"stage": stage, "committed_at": time.time(),
+                           "recovered": True}, f)
+
+        if self.is_committed(stage):
+            existing = self.read_stage(stage)
+            kept = existing.join(
+                df.select(*merge_keys).distinct(), merge_keys, "left_anti"
+            )
+            merged = kept.unionByName(df)
+        else:
+            merged = df
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(marker):
+            os.remove(marker)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        out = self.spark.read.parquet(path)
+        self._write_lineage(stage, out, merge_keys[0])
+        with open(marker, "w") as f:
+            json.dump({"stage": stage, "committed_at": time.time()}, f)
+        return out
 
     # -- lineage --------------------------------------------------------------
     def _write_lineage(self, stage: str, df: DataFrame, key_col: str | None) -> None:

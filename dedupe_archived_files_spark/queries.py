@@ -730,6 +730,45 @@ def embedding_ann_lsh(
     )
 
 
+COSINE_TAU = 0.3
+
+
+def embedding_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate channel: same-`label` vector pairs with
+    cosine >= COSINE_TAU — the embedding analogue of the blocked
+    pairwise-verify dedup shape (block on a cheap key, verify with the exact
+    metric). Verification is one batched numpy einsum per Arrow batch (dots
+    and norms in C — no per-pair interpreted folds). At corpus scale the
+    label block is replaced by the sign-LSH tables of embedding_ann_lsh; this
+    query is the exact, fully oracle-checked form."""
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    @F.pandas_udf("double")
+    def pair_sim(av: pd.Series, bv: pd.Series) -> pd.Series:
+        A = np.vstack([np.asarray(v, dtype=np.float64) for v in av])
+        B = np.vstack([np.asarray(v, dtype=np.float64) for v in bv])
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(np.einsum("ij,ij->i", B, B))
+        return pd.Series(num / den)
+
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, "label")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("sim", pair_sim(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("sim") >= COSINE_TAU)
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.round("sim", 4).alias("sim"),
+        )
+    )
+
+
 def multimodal_binary_meta(spark, sf_dir):
     """Multimodal plumbing: treat content as opaque binary + typed metadata
     (byte length, content hash, format sniff). Real decode is stubbed

@@ -50,7 +50,14 @@ def get_spark(
         cpus_s = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus_s) if cpus_s else (os.cpu_count() or 8)
 
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # 12g, NOT bigger: on this sandbox (snapshot-restored microVM) the cost of
+    # FIRST-TOUCH page faults is ~50-100x a warm fault (VMM-serviced), and G1
+    # on a huge pinned heap keeps allocating young regions in never-touched
+    # areas — measured: the identical explode+agg job swings 5s..92s at 48g,
+    # stabilizes at 4-10s with a 10-12g heap (run-to-run, warm machine). A
+    # right-sized heap keeps the whole working set hot. On a real cluster
+    # executors size their own heaps; this default only governs local mode.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

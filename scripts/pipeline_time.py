@@ -27,8 +27,20 @@ def main() -> None:
     inp = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
+    # experiment overrides (scaling investigation): shuffle partition count
+    # and arbitrary spark confs via env, so one-variable-at-a-time runs don't
+    # need code edits
+    shuffle_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", cores))
+    extra_conf: dict[str, str] = {}
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra_conf[k.strip()] = v.strip()
     spark = get_spark(
-        app_name=f"scaling_{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+        app_name=f"scaling_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=shuffle_parts,
+        extra_conf=extra_conf,
     )
     if inp.startswith("pages:"):
         # pre-materialized pages parquet (scaling_bench synthesizes one);

@@ -107,6 +107,73 @@ def test_checkpoint_resume_identical_output(spark, pages_dfs, tmp_path):
     assert first == exp
 
 
+def test_upsert_stage_merge_semantics(spark, tmp_path):
+    """MERGE INTO analogue (north rule names Iceberg MERGE; parquet impl
+    documents the swap point): matched keys replaced, unmatched appended,
+    stage stays committed and re-readable."""
+    from dedupe_archived_files_spark.plans.lineage import CheckpointStore
+
+    store = CheckpointStore(spark, str(tmp_path / "m"))
+    base = spark.createDataFrame([("u1", 1), ("u2", 2)], ["url", "v"])
+    store.write_stage("tbl", base, key_col="url")
+    batch = spark.createDataFrame([("u2", 20), ("u3", 30)], ["url", "v"])
+    out = store.upsert_stage("tbl", batch, merge_keys=["url"])
+    got = {r["url"]: r["v"] for r in out.collect()}
+    assert got == {"u1": 1, "u2": 20, "u3": 30}
+    # idempotent re-merge of the same batch changes nothing
+    again = store.upsert_stage("tbl", batch, merge_keys=["url"])
+    assert {r["url"]: r["v"] for r in again.collect()} == got
+    assert store.is_committed("tbl")
+
+
+def test_upsert_stage_crash_recovery(spark, tmp_path):
+    """A kill between marker-removal and the directory swap leaves a
+    completed .__merge_tmp — the retry must finish the swap (keeping the
+    merged rows), never treat the stage as fresh."""
+    import os
+    import shutil
+
+    from dedupe_archived_files_spark.plans.lineage import CheckpointStore
+
+    root = str(tmp_path / "c")
+    store = CheckpointStore(spark, root)
+    base = spark.createDataFrame([("u1", 1), ("u2", 2)], ["url", "v"])
+    store.write_stage("tbl", base, key_col="url")
+    merged = spark.createDataFrame([("u1", 1), ("u2", 20), ("u3", 30)], ["url", "v"])
+    # simulate the crash window: tmp fully written, marker gone, dir gone
+    tmp = os.path.join(root, "tbl.__merge_tmp")
+    merged.write.mode("overwrite").parquet(tmp)
+    os.remove(os.path.join(root, "tbl._COMMITTED"))
+    shutil.rmtree(os.path.join(root, "tbl"))
+    # retrying with a new batch recovers the merge, then applies the batch
+    batch = spark.createDataFrame([("u4", 40)], ["url", "v"])
+    out = store.upsert_stage("tbl", batch, merge_keys=["url"])
+    got = {r["url"]: r["v"] for r in out.collect()}
+    assert got == {"u1": 1, "u2": 20, "u3": 30, "u4": 40}
+
+
+def test_read_stage_rejects_foreign_sig_space(spark, tmp_path):
+    """A checkpoint written under a different signature derivation must not
+    resume silently (ADVICE r2): wrong stamp → error; missing stamp with
+    require_sig_space → error."""
+    import pytest
+
+    from dedupe_archived_files_spark.plans.lineage import CheckpointStore
+
+    store = CheckpointStore(spark, str(tmp_path / "s"))
+    foreign = spark.createDataFrame([("u1", "old.space.v0")], ["url", "sig_space"])
+    store.write_stage("pages_text", foreign, key_col="url")
+    with pytest.raises(ValueError, match="signature"):
+        store.read_stage("pages_text")
+
+    unstamped = spark.createDataFrame([("u1",)], ["url"])
+    store.write_stage("legacy", unstamped, key_col="url")
+    with pytest.raises(ValueError, match="sig_space"):
+        store.read_stage("legacy", require_sig_space=True)
+    # without the requirement, unstamped non-featurized stages read fine
+    assert store.read_stage("legacy").count() == 1
+
+
 def test_lineage_rows_written(spark, pages_dfs, tmp_path):
     from dedupe_archived_files_spark.plans.lineage import CheckpointStore
 
