@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings / ANN
         "embedding_topk_cosine": Q.embedding_topk_cosine,
         "embedding_ann_lsh": Q.embedding_ann_lsh,
+        "embedding_ann_ivf": Q.embedding_ann_ivf,
         "embedding_cosine_near_dup": Q.embedding_cosine_near_dup,
         # multimodal plumbing
         "multimodal_binary_meta": Q.multimodal_binary_meta,

@@ -730,6 +730,123 @@ def embedding_ann_lsh(
     )
 
 
+def embedding_ann_ivf(
+    spark,
+    sf_dir,
+    n_centroids: int | None = None,
+    n_probe: int = 4,
+    n_queries: int | None = None,
+    n_hint: int | None = None,
+):
+    """IVF (inverted-file) ANN variant — the coarse-quantizer scale path the
+    sign-LSH tables (embedding_ann_lsh) trade against:
+
+    * centroids: the first ``n_centroids`` vectors (deterministic, bounded
+      collect; default ~sqrt(n/2) cells) — a crude but seedless quantizer; a
+      production build would run a few k-means refinement sweeps, which
+      changes constants, not the plan shape;
+    * assign: ONE matmul per Arrow batch maps every vector to its nearest
+      centroid by cosine (its inverted-list cell);
+    * probe: each query vector probes its ``n_probe`` nearest cells and meets
+      only those cells' members (equi-join on cell id — same
+      one-shuffle-join shape as the LSH and MinHash band paths);
+    * rerank: exact cosine over candidates, batched numpy, top-k per query.
+
+    Candidate volume per query ~ n_probe * n / n_centroids, tunable
+    independently of dimensionality. Rows-only driver check (centroids are
+    engine-internal); recall vs the brute-force baseline is asserted in
+    pytest alongside the LSH variant."""
+    import numpy as np
+
+    if n_queries is None:
+        n_queries = N_QUERIES
+    raw = _t(spark, sf_dir, "embeddings")
+    n = n_hint if n_hint is not None else raw.count()
+    if n_centroids is None:
+        n_centroids = max(4, int(np.sqrt(max(4, n / 2))))
+    n_probe = min(n_probe, n_centroids)
+
+    e = raw.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    crows = sorted(
+        e.filter(F.col("vec_id") < n_centroids).collect(), key=lambda r: r["vec_id"]
+    )
+    C = np.vstack([np.asarray(r["v"], dtype=np.float64) for r in crows])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    probe = n_probe
+
+    from pyspark.sql import types as T
+
+    assign_type = T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("probe_cells", T.ArrayType(T.LongType())),
+            T.StructField("nrm", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(assign_type)
+    def assign_udf(vs: pd.Series) -> pd.DataFrame:
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in vs])
+        nrm = np.sqrt((V * V).sum(axis=1))
+        sims = (V / np.maximum(nrm, 1e-12)[:, None]) @ C.T  # (batch, k)
+        order = np.argsort(-sims, axis=1)
+        return pd.DataFrame(
+            {
+                "cell": order[:, 0].astype(np.int64),
+                "probe_cells": list(order[:, :probe].astype(np.int64)),
+                "nrm": nrm,
+            }
+        )
+
+    b = (
+        e.withColumn("_a", assign_udf("v"))
+        .select(
+            "vec_id",
+            "v",
+            F.col("_a.cell").alias("cell"),
+            F.col("_a.probe_cells").alias("probe_cells"),
+            F.col("_a.nrm").alias("nrm"),
+        )
+        .localCheckpoint(eager=True)  # consumed by probe join AND rerank
+    )
+    members = b.select(F.col("vec_id").alias("neighbor_id"), "cell")
+    probes = (
+        b.filter(F.col("vec_id") < n_queries) if n_queries > 0 else b
+    ).select(F.col("vec_id").alias("query_id"), F.explode("probe_cells").alias("cell"))
+    cand = (
+        probes.join(members, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    @F.pandas_udf("double")
+    def pair_cos(qv: pd.Series, nv: pd.Series, qn: pd.Series, nn: pd.Series) -> pd.Series:
+        A = np.vstack([np.asarray(v, dtype=np.float64) for v in qv])
+        B = np.vstack([np.asarray(v, dtype=np.float64) for v in nv])
+        num = np.einsum("ij,ij->i", A, B)
+        return pd.Series(num / (qn.to_numpy() * nn.to_numpy()))
+
+    fx = b.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    fy = b.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nn"))
+    sims = cand.join(fx, "query_id").join(fy, "neighbor_id").withColumn(
+        "sim", pair_cos(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rk").cast("long").alias("rk"),
+            F.round("sim", 4).alias("sim"),
+        )
+    )
+
+
 COSINE_TAU = 0.3
 
 

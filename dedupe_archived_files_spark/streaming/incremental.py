@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dedupe_archived_files_spark import schema as S
 from dedupe_archived_files_spark.config import PipelineConfig
@@ -48,6 +49,70 @@ def duplicate_rate_per_window(pages_text_stream: DataFrame) -> DataFrame:
             "n_pages",
             "approx_distinct",
         )
+    )
+
+
+def stateful_dedupe_stream(
+    pages_stream: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Custom stateful streaming operator: exact-dedupe ACROSS micro-batches.
+
+    Each page is extracted and grouped by ``full_hash``; per-hash GroupState
+    remembers whether that content was ever emitted, so only the FIRST row of
+    each distinct content survives — the streaming analogue of the batch
+    exact channel (reference J1 as a continuous operator). Implemented with
+    ``applyInPandasWithState`` (Arrow-batched; the state tuple is one
+    (first_url, first_ts) pair per distinct hash).
+
+    Scale notes: the groupBy shuffles by content hash, so state is evenly
+    spread; hot hashes (viral pages) are still ONE state row each. State is
+    unbounded by design here (content identity never expires) — a production
+    deployment bounds it with the RocksDB state store + snapshotting; a TTL
+    would reintroduce duplicates after expiry, which is a policy choice, not
+    a default. Quarantined rows (no hash) pass through untouched via the
+    null-hash group being keyed by url instead.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cfg = cfg or PipelineConfig()
+    extracted = extract_pages(pages_stream, cfg)
+    # null full_hash (quarantined) must not collapse into one group: key those
+    # rows by url so each passes through individually
+    keyed = extracted.withColumn(
+        "dedup_key", F.coalesce(F.col("full_hash"), F.concat(F.lit("q:"), F.col("url")))
+    )
+
+    out_type = S.PAGES_TEXT
+    state_type = T.StructType(
+        [
+            T.StructField("first_url", T.StringType()),
+            T.StructField("first_ts", T.LongType()),
+        ]
+    )
+
+    def first_seen_only(key, pdf_iter, state: GroupState):
+        if state.exists:
+            # content already emitted in an earlier batch → drop everything
+            for _ in pdf_iter:
+                pass
+            return
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf) and first is None:
+                # deterministic winner inside the batch: min (url, warc_ts)
+                pdf = pdf.sort_values(["url", "warc_ts"]).head(1)
+                first = pdf
+        if first is not None:
+            row = first.iloc[0]
+            state.update((str(row["url"]), int(row["warc_ts"].value)))
+            yield first.drop(columns=["dedup_key"])
+
+    return keyed.groupBy("dedup_key").applyInPandasWithState(
+        first_seen_only,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

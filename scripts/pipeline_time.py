@@ -43,9 +43,14 @@ def main() -> None:
         extra_conf=extra_conf,
     )
     if inp.startswith("pages:"):
-        # pre-materialized pages parquet (scaling_bench synthesizes one);
-        # repartition so a single small file still feeds every core
-        pages = spark.read.parquet(inp[len("pages:"):]).repartition(cores * 4)
+        # pre-materialized pages parquet (scaling_bench synthesizes one).
+        # Repartition ONLY if the scan gives too few splits for the level —
+        # an unconditional repartition re-shuffles the fat (html+text) input
+        # inside every timed run, a fixed cost that mostly taxes the
+        # high-core ratio.
+        pages = spark.read.parquet(inp[len("pages:"):])
+        if pages.rdd.getNumPartitions() < cores * 2:
+            pages = pages.repartition(cores * 4)
     else:
         pages = docs_as_pages(spark, inp).repartition(cores * 4)
     n_pages = pages.count()

@@ -199,6 +199,20 @@ def test_ann_recall_at_5(spark):
     assert recall >= 0.9, f"ANN recall@5 = {recall:.3f}"
 
 
+def test_ann_ivf_recall_at_5(spark):
+    """The IVF coarse-quantizer variant must also recover >= 0.9 of the
+    brute-force top-5 sets at its default n_probe."""
+    from dedupe_archived_files_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    truth = Q.embedding_topk_cosine(spark, sf).collect()
+    ivf = Q.embedding_ann_ivf(spark, sf).collect()
+    t = {(r["query_id"], r["neighbor_id"]) for r in truth}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(t & got) / len(t)
+    assert recall >= 0.9, f"IVF recall@5 = {recall:.3f}"
+
+
 # ---------------------------------------------------------------------------
 # xxh3 reference-parity oracle (skip-marked until the wheel exists)
 # ---------------------------------------------------------------------------

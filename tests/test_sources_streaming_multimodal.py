@@ -136,3 +136,66 @@ def test_duplicate_rate_window_plan(spark, pages_dfs, tmp_path):
     # append mode emits only watermark-closed windows; the plan executing
     # end-to-end without error is the smoke contract here
     spark.sql("SELECT * FROM dup_rate").collect()
+
+
+def test_stateful_dedupe_stream(spark, tmp_path):
+    """applyInPandasWithState exact-dedupe across micro-batches: each distinct
+    content hash is emitted exactly once even when duplicates arrive in a
+    LATER batch (maxFilesPerTrigger=1 forces one source file per
+    micro-batch; per-hash GroupState survives between batches)."""
+    import datetime
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedupe_archived_files_spark.streaming.incremental import (
+        stateful_dedupe_stream,
+    )
+
+    src = tmp_path / "stateful_in"
+    src.mkdir()
+    ts = datetime.datetime(2025, 6, 1)
+
+    def write_file(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "url": [r[0] for r in rows],
+                "warc_ts": pa.array([ts] * len(rows), pa.timestamp("us")),
+                "html": pa.array([None] * len(rows), pa.binary()),
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+            }
+        )
+        path = str(src / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    now = _time.time()
+    # batch 1: contents A, B       batch 2: B again (dup), C
+    write_file("f1.parquet", [("u1", "content A"), ("u2", "content B")], now - 60)
+    write_file("f2.parquet", [("u3", "content B"), ("u4", "content C")], now)
+
+    stream = (
+        spark.readStream.schema(S.PAGES)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stateful_dedupe_stream(stream, PipelineConfig())
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateful_dedupe")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT url, full_hash FROM stateful_dedupe").collect()
+    urls = sorted(r["url"] for r in rows)
+    # exactly one survivor per distinct content; the "content B" survivor is
+    # whichever batch ran first (file order is mtime-based but not contractual)
+    assert len(rows) == 3, urls
+    assert "u1" in urls and "u4" in urls
+    assert ("u2" in urls) != ("u3" in urls)
+    assert len({r["full_hash"] for r in rows}) == 3
