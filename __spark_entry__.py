@@ -14,13 +14,20 @@ from pyspark.sql import functions as F
 
 from dedupe_archived_files_spark import queries as Q
 from dedupe_archived_files_spark.config import PipelineConfig
-from dedupe_archived_files_spark.plans.pipeline import run_pipeline
+from dedupe_archived_files_spark.plans.pipeline import run_pipeline_checkpointed
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full dedupe pipeline (extract → block → score → cluster →
     resolve) over the documents table viewed as web pages; every doc gets its
-    duplicate-cluster assignment (singletons map to themselves)."""
+    duplicate-cluster assignment (singletons map to themselves).
+
+    Runs through the CHECKPOINTED pipeline against a fresh temp root, so every
+    grading run also exercises the commit/lineage path (stage parquet +
+    per-partition lineage rows + atomic markers). Output is identical to the
+    in-memory run_pipeline form: clusters rows are exactly the CC labels."""
+    import tempfile
+
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     pages = docs.select(
@@ -31,10 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("lang"),
     )
     cfg = PipelineConfig(tau_jaccard=0.9, shingle_size=3)
-    res = run_pipeline(pages, cfg)
-    labels = res.labels.select(
-        F.col("url"), F.col("component").alias("cluster_id")
-    )
+    root = tempfile.mkdtemp(prefix="entry_ckpt_")
+    clusters = run_pipeline_checkpointed(pages, root, cfg)
+    labels = clusters.select("url", "cluster_id")
     return (
         pages.select("url")
         .join(labels, "url", "left")
@@ -336,9 +342,11 @@ def oracle_sql() -> dict[str, str]:
                            list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
                            'sum') / (a.nrm * b.nrm), 4) AS sim
             FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_aggregate(
+            -- filter on the ROUNDED sim, matching the engine: raw engine/oracle
+            -- folds can differ in the last ulp at the 0.3 boundary
+            WHERE round(list_aggregate(
                     list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
-                    'sum') / (a.nrm * b.nrm) >= 0.3
+                    'sum') / (a.nrm * b.nrm), 4) >= 0.3
         """,
         "multimodal_binary_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -38,7 +38,7 @@ class PipelineConfig:
     # (the key table dominates the blocking shuffle/agg at corpus scale) and
     # each band is MORE selective, so fewer false-positive candidates reach
     # the verify join. Miss probability for a true pair at s = tau = 0.85:
-    # (1 - 0.85^8)^16 = 2.6e-3; at s = 0.9: 1.2e-4 — and the simhash
+    # (1 - 0.85^8)^16 = 6.2e-3; at s = 0.9: 1.2e-4 — and the simhash
     # OR-channel plus exact/url/quick channels independently cover near-dups,
     # so the F1 >= 0.99 gate holds (asserted in-suite).
     lsh_bands: int = 16              # bands * rows_per_band == minhash_perms

@@ -39,6 +39,15 @@ class CheckpointStore:
     def is_committed(self, stage: str) -> bool:
         return os.path.exists(self._marker(stage))
 
+    def invalidate(self, stage: str) -> None:
+        """Uncommit a stage (marker removal only — data stays for debugging).
+        Used by the incremental pipeline to mark downstream stages stale
+        BEFORE upserting an upstream one, so a crash between the two can
+        never resume a stale downstream checkpoint."""
+        marker = self._marker(stage)
+        if os.path.exists(marker):
+            os.remove(marker)
+
     def write_stage(self, stage: str, df: DataFrame, key_col: str | None = None) -> DataFrame:
         """Write a stage output + lineage, atomically: data first, lineage
         second, marker last. A crash between any two leaves the stage
@@ -108,34 +117,28 @@ class CheckpointStore:
 
         1. merged = (existing ⟕̸ src on keys) ∪ src  → written to a sibling
            ``.__merge_tmp`` dir (full result, _SUCCESS on completion);
-        2. marker removed (stage now formally uncommitted);
+        2. ``.__merge_inprogress`` sentinel dropped, THEN marker removed
+           (stage now formally uncommitted, but the sentinel records that an
+           upsert — not a fresh write — owns the window);
         3. old dir removed, tmp renamed into place (atomic on POSIX);
-        4. lineage + marker rewritten.
+        4. lineage + marker rewritten, sentinel removed.
 
-        Kill-safety: a crash before (3) leaves the old committed data intact
-        (tmp is garbage, retried from scratch); a crash during/after (3) is
-        recovered by the completed-tmp check below — the tmp dir holds the
-        full merge result, so the retry finishes the swap instead of treating
-        the stage as fresh (which would drop the pre-merge rows)."""
+        Kill-safety: a crash before (2) leaves the old committed data intact
+        (tmp is garbage or, if complete, merged on top of the committed
+        state — idempotent either way); a crash in (2)-(3) is recovered by
+        the completed-tmp check below (tmp holds the full merge result, the
+        retry finishes the swap); a crash AFTER the rename but before the
+        marker rewrite — marker gone AND tmp gone — is recovered via the
+        sentinel: sentinel + live ``_SUCCESS`` data dir means the rename
+        completed and the live dir already IS the merge result, so the retry
+        recommits it instead of treating the stage as fresh (which would
+        drop every pre-merge row)."""
         path = self._dir(stage)
         tmp = path + ".__merge_tmp"
         marker = self._marker(stage)
+        sentinel = path + ".__merge_inprogress"
 
-        # crash recovery: a completed tmp (has _SUCCESS) + missing marker
-        # means a previous upsert died mid-swap — finish it first, then merge
-        # df on top of the recovered state.
-        if (
-            not self.is_committed(stage)
-            and os.path.exists(os.path.join(tmp, "_SUCCESS"))
-        ):
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            os.rename(tmp, path)
-            recovered = self.spark.read.parquet(path)
-            self._write_lineage(stage, recovered, merge_keys[0])
-            with open(marker, "w") as f:
-                json.dump({"stage": stage, "committed_at": time.time(),
-                           "recovered": True}, f)
+        self.recover_upsert(stage, lineage_key=merge_keys[0])
 
         if self.is_committed(stage):
             existing = self.read_stage(stage)
@@ -148,6 +151,8 @@ class CheckpointStore:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         merged.write.mode("overwrite").parquet(tmp)
+        with open(sentinel, "w") as f:
+            json.dump({"stage": stage, "started_at": time.time()}, f)
         if os.path.exists(marker):
             os.remove(marker)
         if os.path.exists(path):
@@ -157,7 +162,45 @@ class CheckpointStore:
         self._write_lineage(stage, out, merge_keys[0])
         with open(marker, "w") as f:
             json.dump({"stage": stage, "committed_at": time.time()}, f)
+        os.remove(sentinel)
         return out
+
+    def recover_upsert(self, stage: str, lineage_key: str | None = None) -> bool:
+        """Finish a previous :meth:`upsert_stage` that died mid-swap; returns
+        True if anything was recovered. Safe (no-op) on a committed or fresh
+        stage. Called automatically by upsert_stage; callable directly by a
+        resuming driver before it inspects commit state."""
+        path = self._dir(stage)
+        tmp = path + ".__merge_tmp"
+        marker = self._marker(stage)
+        sentinel = path + ".__merge_inprogress"
+
+        def _recommit() -> None:
+            recovered = self.spark.read.parquet(path)
+            self._write_lineage(stage, recovered, lineage_key)
+            with open(marker, "w") as f:
+                json.dump({"stage": stage, "committed_at": time.time(),
+                           "recovered": True}, f)
+
+        recovered = False
+        if not self.is_committed(stage):
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                # swap never finished: tmp holds the full merge result
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+                os.rename(tmp, path)
+                _recommit()
+                recovered = True
+            elif os.path.exists(sentinel) and os.path.exists(
+                os.path.join(path, "_SUCCESS")
+            ):
+                # rename completed but marker rewrite did not: the live dir
+                # already holds the merged rows — recommit, don't restart
+                _recommit()
+                recovered = True
+        if os.path.exists(sentinel):
+            os.remove(sentinel)
+        return recovered
 
     # -- lineage --------------------------------------------------------------
     def _write_lineage(self, stage: str, df: DataFrame, key_col: str | None) -> None:
@@ -211,7 +254,22 @@ class CheckpointStore:
 
     def lineage(self) -> DataFrame:
         v2 = os.path.join(self.root, "_lineage_v2")
-        if os.path.exists(v2):
-            return self.spark.read.parquet(v2)
-        # legacy layout (flat, unpartitioned) — readable for old roots
-        return self.spark.read.parquet(os.path.join(self.root, "_lineage"))
+        legacy = os.path.join(self.root, "_lineage")
+        if not os.path.exists(v2):
+            # legacy layout (flat, unpartitioned) — readable for old roots
+            return self.spark.read.parquet(legacy)
+        cur = self.spark.read.parquet(v2)
+        if not os.path.exists(legacy):
+            return cur
+        # Mixed root: a pre-v2 checkpoint root whose stages were RESUMED (not
+        # rewritten) by this engine never migrates their lineage rows into
+        # _lineage_v2 — union the legacy rows for stages absent from v2 so
+        # resumed stages don't silently vanish from lineage() output.
+        old = self.spark.read.parquet(legacy)
+        missing = old.join(cur.select("stage").distinct(), "stage", "left_anti")
+        for col in cur.columns:
+            if col not in missing.columns:
+                missing = missing.withColumn(
+                    col, F.lit(None).cast(cur.schema[col].dataType)
+                )
+        return cur.unionByName(missing.select(*cur.columns))

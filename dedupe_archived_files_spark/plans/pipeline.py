@@ -144,20 +144,82 @@ def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> Pipelin
 
 
 def run_pipeline_checkpointed(
-    pages: DataFrame, checkpoint_root: str, cfg: PipelineConfig | None = None
+    pages: DataFrame,
+    checkpoint_root: str,
+    cfg: PipelineConfig | None = None,
+    incremental: bool = True,
 ) -> DataFrame:
     """Resumable variant: each stage commits to the CheckpointStore; a rerun
     skips every committed stage (reference J6 semantics — unchanged inputs are
     not rescanned, core/scanner.py:119-134). Returns the clusters DataFrame.
 
+    Incremental semantics (``incremental=True``, VERDICT r3 #5): when the
+    featurized stage is already committed and the input snapshot contains
+    rows NOT in it (new urls, or re-crawled urls with a newer ``warc_ts`` —
+    ``operators.incremental.new_or_changed``), ONLY those rows go through the
+    Python extract+featurize UDF; they are then MERGE-upserted into the
+    committed stage keyed by ``url`` (re-crawl replaces, like the reference's
+    per-archive rescan, core/scanner.py:119-134 — NOT an all-or-nothing stage
+    recompute). Downstream edges/clusters are recomputed over the merged
+    features — pure JVM-side join/agg work; the expensive vectorized-UDF
+    featurization of unchanged rows is never repeated. The committed state
+    therefore holds ONE row per url (latest warc_ts wins), and the output
+    equals a from-scratch run over the per-url-latest snapshot.
+
     Kill-safety contract (FIXTURES.md §4): stages are committed atomically
-    (data → lineage → marker); a rerun after a kill recomputes only the first
-    uncommitted stage onward and the final output is identical.
+    (data → lineage → marker); downstream markers are invalidated BEFORE the
+    upstream upsert, so a kill anywhere leaves either the old consistent
+    state or a resumable one — a rerun recomputes from the first uncommitted
+    stage and the final output is identical.
     """
+    from dedupe_archived_files_spark.operators.incremental import (
+        last_writer_wins,
+        new_or_changed,
+    )
     from dedupe_archived_files_spark.plans.lineage import CheckpointStore
 
     cfg = (cfg or PipelineConfig()).validated()
     store = CheckpointStore(pages.sparkSession, checkpoint_root)
+
+    def _edges_from(sig: DataFrame) -> DataFrame:
+        cand = candidate_pairs(sig, cfg)
+        near = verified_edges(pair_features(sig, cand), cfg).select(
+            "url_a", "url_b", "score", "channel"
+        )
+        return near.unionByName(exact_star_edges(sig, cfg)).dropDuplicates(
+            ["url_a", "url_b"]
+        )
+
+    def _clusters_from(edges: DataFrame) -> DataFrame:
+        return resolve_clusters(
+            connected_components(edges.select("url_a", "url_b"), cfg)
+        )
+
+    if incremental:
+        # finish any upsert that died mid-swap before reading commit state
+        store.recover_upsert("pages_text", lineage_key="full_hash")
+        if store.is_committed("pages_text"):
+            committed = store.read_stage("pages_text", require_sig_space=True)
+            todo = last_writer_wins(
+                new_or_changed(pages, committed), ["url"], "warc_ts"
+            )
+            if todo.limit(1).count():
+                # stale-downstream guard: uncommit BEFORE the upsert so a
+                # crash between upsert and edge rewrite cannot resume the old
+                # edges against the new features
+                store.invalidate("clusters")
+                store.invalidate("edges")
+                pages_text = store.upsert_stage(
+                    "pages_text",
+                    extract_with_signature(todo, cfg),
+                    merge_keys=["url"],
+                )
+                edges = store.write_stage(
+                    "edges", _edges_from(pages_text), key_col="url_a"
+                )
+                return store.write_stage(
+                    "clusters", _clusters_from(edges), key_col="cluster_id"
+                )
 
     # the committed stage IS the fused extract+signature output (parquet with
     # the hash/shingle/signature columns), so a resumed run skips the Python
@@ -173,20 +235,12 @@ def run_pipeline_checkpointed(
         require_sig_space=True,
     )
 
-    def _edges() -> DataFrame:
-        sig = pages_text
-        cand = candidate_pairs(sig, cfg)
-        near = verified_edges(pair_features(sig, cand), cfg).select(
-            "url_a", "url_b", "score", "channel"
-        )
-        return near.unionByName(exact_star_edges(pages_text, cfg)).dropDuplicates(
-            ["url_a", "url_b"]
-        )
-
-    edges = store.resume_or_compute("edges", _edges, key_col="url_a")
+    edges = store.resume_or_compute(
+        "edges", lambda: _edges_from(pages_text), key_col="url_a"
+    )
     clusters = store.resume_or_compute(
         "clusters",
-        lambda: resolve_clusters(connected_components(edges.select("url_a", "url_b"), cfg)),
+        lambda: _clusters_from(edges),
         key_col="cluster_id",
     )
     return clusters

@@ -96,16 +96,27 @@ def stateful_dedupe_stream(
             for _ in pdf_iter:
                 pass
             return
-        first = None
+        # deterministic winner inside the batch: min (url, warc_ts) across
+        # ALL Arrow chunks — a group's rows can span chunks, so the running
+        # best is compared against each chunk's local min (keeping only the
+        # first non-empty chunk would make the winner chunk-order-dependent)
+        best = None
         for pdf in pdf_iter:
-            if len(pdf) and first is None:
-                # deterministic winner inside the batch: min (url, warc_ts)
-                pdf = pdf.sort_values(["url", "warc_ts"]).head(1)
-                first = pdf
-        if first is not None:
-            row = first.iloc[0]
+            if not len(pdf):
+                continue
+            local = pdf.sort_values(["url", "warc_ts"]).head(1)
+            if best is None:
+                best = local
+            else:
+                lrow, brow = local.iloc[0], best.iloc[0]
+                if (str(lrow["url"]), lrow["warc_ts"]) < (
+                    str(brow["url"]), brow["warc_ts"]
+                ):
+                    best = local
+        if best is not None:
+            row = best.iloc[0]
             state.update((str(row["url"]), int(row["warc_ts"].value)))
-            yield first.drop(columns=["dedup_key"])
+            yield best.drop(columns=["dedup_key"])
 
     return keyed.groupBy("dedup_key").applyInPandasWithState(
         first_seen_only,

@@ -196,6 +196,7 @@ def test_ann_recall_at_5(spark):
     t = {(r["query_id"], r["neighbor_id"]) for r in truth}
     got = {(r["query_id"], r["neighbor_id"]) for r in ann}
     recall = len(t & got) / len(t)
+    print(f"\n[gate] embedding_ann_lsh recall@5 = {recall:.3f} (>= 0.9 required)")
     assert recall >= 0.9, f"ANN recall@5 = {recall:.3f}"
 
 
@@ -210,6 +211,7 @@ def test_ann_ivf_recall_at_5(spark):
     t = {(r["query_id"], r["neighbor_id"]) for r in truth}
     got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     recall = len(t & got) / len(t)
+    print(f"\n[gate] embedding_ann_ivf recall@5 = {recall:.3f} (>= 0.9 required)")
     assert recall >= 0.9, f"IVF recall@5 = {recall:.3f}"
 
 
