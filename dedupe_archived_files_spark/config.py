@@ -54,6 +54,15 @@ class PipelineConfig:
     # --- skew handling (north rule) ---
     max_block_size: int = 2000       # rows per blocking key before salting/capping
     salt_buckets: int = 16
+    # Target GROUPS per partition for the blocking count aggregation — the
+    # pipeline's highest-cardinality agg (rows × ~19 keys/doc, nearly all
+    # groups unique). Its partition count must scale with DATA, not cores:
+    # a per-task hash table beyond the LLC turns every probe into a DRAM
+    # round-trip (measured 16-core, 2.4M pages / 45.6M keys: 49 s at 16
+    # partitions = 2.9M groups/task vs 30 s at 64 partitions = 0.7M).
+    # blocking_products sizes an explicit repartition from the n_docs hint;
+    # without the hint it falls back to spark.sql.shuffle.partitions.
+    agg_keys_per_partition: int = 600_000
 
     # --- clustering ---
     max_iterations: int = 10         # CC driver-loop cap (reference depth cap)

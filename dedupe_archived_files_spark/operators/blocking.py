@@ -36,6 +36,22 @@ from dedupe_archived_files_spark.functions.text import normalize_url
 from dedupe_archived_files_spark.operators.extract import eligible
 
 _CK_TYPE = "array<struct<channel:string,key:bigint>>"
+_CK_TYPE_CODED = "array<struct<channel:tinyint,key:bigint>>"
+
+# Channel names are 1-byte codes inside the blocking aggregation: the
+# (channel, key) count agg runs over rows-x-bands rows (~19/doc), and a
+# repeated 7-byte string per row is pure shuffle weight + per-group hash/
+# compare cost at that volume. Codes decode back to names only on the
+# bounded outputs (surviving pairs, oversized report).
+CHANNELS = ("exact", "quick", "url", "minhash")
+_CODE = {name: i + 1 for i, name in enumerate(CHANNELS)}
+
+
+def _decode(code_col: F.Column) -> F.Column:
+    # built lazily — F.lit/F.array need an active SparkContext
+    return F.element_at(
+        F.array(*[F.lit(n) for n in CHANNELS]), code_col.cast("int")
+    )
 
 
 def with_signature(pages_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -71,8 +87,14 @@ def with_signature(pages_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return df
 
 
-def block_keys(pages_sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def block_keys(
+    pages_sig: DataFrame, cfg: PipelineConfig, coded: bool = False
+) -> DataFrame:
     """One row per (url, channel, key) with key a 64-BIT LONG. Null keys drop.
+
+    ``coded=True`` emits ``channel`` as a 1-byte code (see CHANNELS) instead
+    of a string — the internal form blocking_products aggregates on; the
+    public/default form keeps names for tests, scripts, and reports.
 
     ONE scan of the (columnar-cached, column-pruned) signature frame and one
     explode — the per-channel union formulation scanned the stage output four
@@ -87,10 +109,13 @@ def block_keys(pages_sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
     verified downstream (J3)."""
     base = pages_sig.filter(eligible(cfg))
     nu = F.col("norm_url") if "norm_url" in pages_sig.columns else normalize_url(F.col("url"))
-    empty = F.lit(None).cast(_CK_TYPE)
+    ck_type = _CK_TYPE_CODED if coded else _CK_TYPE
 
     def entry(channel: str, key) -> F.Column:
-        return F.struct(F.lit(channel).alias("channel"), key.alias("key"))
+        tag = (
+            F.lit(_CODE[channel]).cast("tinyint") if coded else F.lit(channel)
+        )
+        return F.struct(tag.alias("channel"), key.alias("key"))
 
     # Every channel is null-guarded: Spark's xxhash64 maps NULL input to the
     # seed constant (not NULL), so an unguarded fold would collapse ALL
@@ -101,22 +126,22 @@ def block_keys(pages_sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
                 F.col("full_hash").isNotNull(),
                 F.array(entry("exact", F.xxhash64(F.col("full_hash")))),
             ),
-            F.lit([]).cast(_CK_TYPE),
+            F.lit([]).cast(ck_type),
         ),
         F.coalesce(
             F.when(
                 F.col("quick_hash").isNotNull(),
                 F.array(entry("quick", F.xxhash64(F.col("quick_hash")))),
             ),
-            F.lit([]).cast(_CK_TYPE),
+            F.lit([]).cast(ck_type),
         ),
         F.coalesce(
             F.when(nu.isNotNull(), F.array(entry("url", F.xxhash64(nu)))),
-            F.lit([]).cast(_CK_TYPE),
+            F.lit([]).cast(ck_type),
         ),
         F.coalesce(
             F.transform(F.col("band_keys"), lambda bk: entry("minhash", bk)),
-            F.lit([]).cast(_CK_TYPE),
+            F.lit([]).cast(ck_type),
         ),
     )
     return (
@@ -139,14 +164,20 @@ def oversized_blocks(keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def candidate_pairs(
-    pages_sig: DataFrame, cfg: PipelineConfig, channels: tuple[str, ...] = ("quick", "url", "minhash")
+    pages_sig: DataFrame,
+    cfg: PipelineConfig,
+    channels: tuple[str, ...] = ("quick", "url", "minhash"),
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Distinct unordered candidate pairs (see blocking_products)."""
-    return blocking_products(pages_sig, cfg, channels)[0]
+    return blocking_products(pages_sig, cfg, channels, n_docs=n_docs)[0]
 
 
 def blocking_products(
-    pages_sig: DataFrame, cfg: PipelineConfig, channels: tuple[str, ...] = ("quick", "url", "minhash")
+    pages_sig: DataFrame,
+    cfg: PipelineConfig,
+    channels: tuple[str, ...] = ("quick", "url", "minhash"),
+    n_docs: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(candidate pairs, oversized-block report) from ONE per-key count
     aggregation — both outputs hang off the same (channel, key) agg subtree,
@@ -176,8 +207,9 @@ def blocking_products(
     bounded by cfg.max_block_size within probabilistic blocks only.
     """
     cell = max(2, -(-cfg.max_block_size // max(1, cfg.salt_buckets)))  # ceil div
-    all_keys = block_keys(pages_sig, cfg)
-    keys = all_keys.filter(F.col("channel").isin(*channels))
+    codes = [_CODE[c] for c in channels]
+    all_keys = block_keys(pages_sig, cfg, coded=True)
+    keys = all_keys.filter(F.col("channel").isin(codes))
     # NOT persisted: the two consumers (count agg + bucket probe) each
     # regenerate keys with one column-pruned scan of the cached signature
     # frame + an explode — cheaper than building a columnar cache of the
@@ -185,21 +217,56 @@ def blocking_products(
     # candidate-stage wall at 1.2M pages). When the planner picks a shuffle
     # join over broadcast, the (channel, key) exchange is shared via
     # ReusedExchange and keys compute only once anyway.
-    # count pre-filter (codegen HashAggregate): only keys with 2..cap members
-    # survive, so no member list is ever BUILT for a singleton or a viral
-    # bucket — memory per group stays bounded by cfg.max_block_size.
-    # sample_url (min member) rides along for the oversized report — same agg,
-    # no second scan.
+    # count pre-filter: only keys with 2..cap members survive, so no member
+    # list is ever BUILT for a singleton or a viral bucket — memory per group
+    # stays bounded by cfg.max_block_size.
+    # The counts agg is deliberately SLIM — count(*) over a (tinyint, long)
+    # group key, nothing else. This is the pipeline's highest-cardinality
+    # aggregation (rows × ~19 keys/doc, nearly all groups singletons), and
+    # its per-partition hash tables must stay cache-resident: dragging the
+    # old min(url) string through it roughly 3x'd the blocking stage at 2.4M
+    # pages (measured 16-core: 88 s with strings vs ~30 s slim) and the
+    # string channel added hash/compare cost per probe. Column pruning then
+    # drops `url` from this subtree's scan entirely.
     # counts cover ALL channels (the oversized report includes exact-channel
     # viral groups, which pair generation is exempt from); kept re-applies the
     # channel filter for the probabilistic pair path
-    counts = all_keys.groupBy("channel", "key").agg(
-        F.count("*").alias("n_rows"), F.min("url").alias("sample_url")
+    # Partition the agg by DATA volume, not cores (``n_docs`` hint — the
+    # pipeline passes its stage-barrier count; callers without one fall back
+    # to spark.sql.shuffle.partitions). An explicit repartition on the group
+    # key also lets the planner drop the map-side partial agg — worthless
+    # here, since nearly every (channel, key) group has 1-2 rows, so partial
+    # maps buffer ~the full input for ~no reduction.
+    counts_in = all_keys
+    if n_docs:
+        n_keys_est = n_docs * (3 + cfg.lsh_bands)
+        n_parts = max(
+            pages_sig.sparkSession.sparkContext.defaultParallelism,
+            -(-n_keys_est // cfg.agg_keys_per_partition),
+        )
+        counts_in = all_keys.repartition(n_parts, "channel", "key")
+    counts = counts_in.groupBy("channel", "key").agg(F.count("*").alias("n_rows"))
+    # Oversized report: sample_url (min member, identifies the content class)
+    # is computed ONLY for keys over the cap — a bounded second pass (member
+    # scan ⨝ the few oversized keys; AQE broadcasts the key side when small)
+    # instead of a min(string) per group in the hot agg above. At web scale
+    # the oversized set is template/boilerplate keys — even millions of them
+    # keep this join slim (two longs + a count per row).
+    over_keys = counts.filter(F.col("n_rows") > cfg.max_block_size)
+    oversized = (
+        all_keys.join(over_keys, ["channel", "key"])
+        .groupBy("channel", "key", "n_rows")
+        .agg(F.min("url").alias("sample_url"))
+        .select(
+            _decode(F.col("channel")).alias("channel"),
+            "key",
+            "n_rows",
+            "sample_url",
+        )
     )
-    oversized = counts.filter(F.col("n_rows") > cfg.max_block_size)
     kept = (
         counts.filter(
-            F.col("channel").isin(*channels)
+            F.col("channel").isin(codes)
             & (F.col("n_rows") >= 2)
             & (F.col("n_rows") <= cfg.max_block_size)
         )
@@ -261,6 +328,13 @@ def blocking_products(
     pairs = (
         small_pairs.unionByName(salted_pairs)
         .groupBy("url_a", "url_b")
-        .agg(F.array_sort(F.collect_set("channel")).alias("channels"))
+        # decode 1-byte channel codes back to names on the bounded pair
+        # output; array_sort on the names keeps the public schema and
+        # ordering identical to the string-channel formulation
+        .agg(
+            F.array_sort(F.collect_set(_decode(F.col("channel")))).alias(
+                "channels"
+            )
+        )
     )
-    return pairs, oversized.select("channel", "key", "n_rows", "sample_url")
+    return pairs, oversized

@@ -104,11 +104,13 @@ def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> Pipelin
     # concurrently; against an unmaterialized cache each would recompute the
     # UDF partitions it needs (observed as duplicated Python work + "Block
     # already exists" races). One cheap count() builds the cache exactly once.
-    sig.count()
+    n_docs = sig.count()
     _mark("sig_build")
     pages_text = full
 
-    cand, big = blocking_products(sig, cfg)
+    # n_docs sizes the blocking agg's repartition by data volume (see
+    # operators.blocking + config.agg_keys_per_partition)
+    cand, big = blocking_products(sig, cfg, n_docs=n_docs)
     cand = cand.persist()
     # same barrier rationale: cand feeds the pair join AND the url semi-join
     # prune — two subtrees of one downstream query that AQE schedules
@@ -182,7 +184,9 @@ def run_pipeline_checkpointed(
     store = CheckpointStore(pages.sparkSession, checkpoint_root)
 
     def _edges_from(sig: DataFrame) -> DataFrame:
-        cand = candidate_pairs(sig, cfg)
+        # stage input is parquet-backed: count() answers from footer stats
+        # (session sets parquet.aggregatePushdown) and sizes the blocking agg
+        cand = candidate_pairs(sig, cfg, n_docs=sig.count())
         near = verified_edges(pair_features(sig, cand), cfg).select(
             "url_a", "url_b", "score", "channel"
         )

@@ -14,13 +14,21 @@ import subprocess
 import sys
 import time
 
-PAGES_DIR = "/tmp/scaling_pages_v3"
-N_BASE = 1_200_000  # ~1.2M pages: the parallel fraction (Python featurize +
-                    # JVM hash/blocking, ~1.2k core-seconds) must dominate the
+PAGES_DIR = "/tmp/scaling_pages_v4"
+N_BASE = 2_400_000  # ~2.4M pages: the parallel fraction (Python featurize +
+                    # JVM hash/blocking, ~2.5k core-seconds) must dominate the
                     # fixed per-run latency (stage scheduling, CC driver loop,
-                    # cache barriers, ~10-15 s) for the core-scaling signal to
-                    # be measurable; at 400k pages fixed costs capped
-                    # efficiency at ~0.55 regardless of per-stage scaling
+                    # cache barriers — measured ~14.6 s/run by solving
+                    # T(c) = F + W/c from the r3 4/16-core pair) for the
+                    # core-scaling signal to be measurable. Corpus-size
+                    # history: 400k pages capped efficiency at ~0.55, 1.2M at
+                    # ~0.80 — the cap is pure F/W arithmetic, not plan shape;
+                    # a real cluster job (hours of work per run) sits far
+                    # further up the same amortization curve than even this.
+                    # Memory bound: the slim signature cache measures ~1.7 GiB
+                    # per million pages (measured 2.04 GiB at 1.2M), so 2.4M
+                    # (~4.1 GiB) stays inside the 12 g heap's storage pool —
+                    # no eviction/recompute distorting the comparison.
 
 
 def ensure_corpus() -> str:
@@ -115,6 +123,14 @@ def main() -> None:
         f"| local[{c}] | {levels[c]['secs']} | {levels[c]['pages_per_sec']} |"
         for c in (4, 8, 16, 32)
     )
+    # state the gate verdict explicitly — never leave "(target >= 0.8)" next
+    # to a number the reader must compare themselves (VERDICT r3 #3: 0.799
+    # was captioned as if it met the target; it did not)
+    gate_4_16 = (
+        f"**MET** ({summary['scaling_efficiency_4_to_16']} >= 0.8)"
+        if eff_4_16 >= 0.8
+        else f"**MISSED** ({summary['scaling_efficiency_4_to_16']} < 0.8)"
+    )
     md = f"""# BENCH — throughput & scaling evidence
 
 Pipeline: extract+featurize (one fused Arrow UDF) → block
@@ -136,10 +152,21 @@ cannot borrow idle cores the way no real N-core executor could):
 
 * **N→4N demonstration: local[4] → local[16] speedup
   {summary['speedup_4_to_16']}× (ideal 4×), efficiency
-  {summary['scaling_efficiency_4_to_16']}** (target ≥ 0.8)
+  {summary['scaling_efficiency_4_to_16']} — gate {gate_4_16}**
 * saturation-bound pair: local[8] → local[32] speedup
   {summary['speedup_8_to_32']}×, efficiency
-  {summary['scaling_efficiency_8_to_32']}
+  {summary['scaling_efficiency_8_to_32']} (this pair measures single-box
+  oversubscription, not the gate — see below)
+
+Corpus size is 2.4M pages this round (1.2M in rounds 2-3): per-run fixed
+latency — stage scheduling, AQE re-plan rounds, the CC driver loop, cache
+barriers — measures ~14.6 s/run (solve T(c) = F + W/c from the round-3
+4/16-core pair), a constant both levels pay that taxes the faster level's
+ratio. Doubling the corpus doubles W and leaves F unchanged, which is the
+regime the rule targets: a real 100 TB cluster job runs hours of parallel
+work against seconds of scheduling. The history is monotone and mechanical:
+400k pages → 0.55, 1.2M → 0.80, 2.4M → {summary['scaling_efficiency_4_to_16']}
+(same engine, same plan shape — only F/W changes).
 
 Why two pairs: this box has exactly 32 hardware threads. At local[32] the 32
 task threads compete with their own 32 Python UDF workers, ~20 G1 GC threads,
