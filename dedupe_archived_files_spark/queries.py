@@ -644,10 +644,13 @@ def embedding_ann_lsh(
     (VERDICT r2 #4).
 
     r adapts to corpus size (r = max(4, log2(n/64))) so expected bucket
-    occupancy stays ~64 rows: candidate volume per query is ~b * n / 2^r
-    regardless of n. Per-pair miss probability at per-bit agreement p:
-    (1 - p^r)^b — measured recall vs the brute-force baseline is asserted
-    >= 0.9 in pytest. Rerank is a batched numpy pair-cosine pandas UDF
+    occupancy stays ~64 rows, and queries MULTI-PROBE the r Hamming-1
+    buckets per table (see inline comment): candidate volume per query is
+    ~b * (r+1) * 64 — logarithmic in n — while the corpus-side explode stays
+    one key per table. Per-pair miss probability at per-bit agreement p:
+    (1 - (p^r + r*p^(r-1)*(1-p)))^b — measured recall vs the brute-force
+    baseline is asserted >= 0.9 in pytest (and printed): 1.00 at both 1k and
+    10k vectors (single-probe measured 0.77 at 10k). Rerank is a batched numpy pair-cosine pandas UDF
     (VERDICT r2 #2), not an interpreted fold. Rows-only driver check (the
     hyperplane constants are engine-internal)."""
     import numpy as np
@@ -697,6 +700,26 @@ def embedding_ann_lsh(
     bands_q = (
         bands.filter(F.col("vec_id") < n_queries) if n_queries > 0 else bands
     )
+    # Query-directed MULTI-PROBE (r+1 probes/table): each query also probes
+    # the r buckets at Hamming distance 1 (flip one of the low r key bits —
+    # the table-index high bits are untouched, so probes never cross tables).
+    # Rationale: r adapts up with corpus size to hold bucket occupancy ~64,
+    # but a single probe's per-table hit rate p^r then collapses for
+    # moderate-cosine true neighbors (measured recall@5 at 10k vectors:
+    # 0.77 single-probe vs >= 0.9 gated). Multi-probe restores it for
+    # (r+1)x QUERY-side keys only — candidate volume per query stays
+    # ~ b * (r+1) * 64, independent of n; the corpus side still emits one
+    # key per table, so the big explode/shuffle is unchanged.
+    probe_masks = F.array(*[F.lit(1 << j) for j in range(r_bits)])
+    bands_q = bands_q.select(
+        "vec_id",
+        F.explode(
+            F.concat(
+                F.array(F.col("tk")),
+                F.transform(probe_masks, lambda m: F.col("tk").bitwiseXOR(m)),
+            )
+        ).alias("tk"),
+    )
     x, y = bands_q.alias("x"), bands.alias("y")
     cand = (
         x.join(y, (F.col("x.tk") == F.col("y.tk")) & (F.col("x.vec_id") != F.col("y.vec_id")))
@@ -733,7 +756,9 @@ def embedding_ann_lsh(
 IVF_MAX_CENTROIDS = 4096   # hard cap: driver collect + per-batch matmul bound
 IVF_TRAIN_SAMPLE = 16384   # k-means training sample cap (rows collected)
 IVF_LLOYD_SWEEPS = 10      # spherical k-means refinement iterations
-IVF_N_PROBE = 8            # cells probed per query
+IVF_N_PROBE = 12           # cells probed per query (12/~70 cells at 10k
+                           # vectors: recall@5 0.95 vs 0.90 at 8 — margin
+                           # over the >= 0.9 gate at both test scales)
 
 
 def embedding_ann_ivf(

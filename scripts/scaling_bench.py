@@ -175,12 +175,14 @@ regime no real 4N-executor cluster runs in (executors there own their cores;
 the driver/OS live elsewhere). The 4→16 pair holds machine utilisation ≤ 50%
 at both ends and measures what the rule targets — partitioning balance and
 absence of serial bottlenecks at 4× the parallelism — while 8→32 additionally
-measures single-box oversubscription (per-stage profile in SCALING.md: every
-stage, including the embarrassingly-parallel Python featurize, flattens to
-~2.1-2.3× beyond ~16 busy cores; the same Python work in a Spark-free
-multiprocessing harness keeps 78% per-core efficiency at 32 procs, so the
-ceiling is machine-level contention, not the engine's plan shape). Both pairs
-are reported every round; neither is cherry-picked away.
+measures single-box oversubscription on top (the same Python featurize work
+in a Spark-free multiprocessing harness keeps only 78% per-core efficiency at
+32 procs — SCALING.md — so part of the 8→32 gap is machine-level contention
+no plan shape can recover). The round-4 blocking fix (slim count-agg,
+data-proportional partitioning, SCALING.md round-4 section) lifted the
+saturation pair from 0.395 to 0.742 — most of what looked like an
+oversubscription ceiling in round 3 was actually the superlinear agg. Both
+pairs are reported every round; neither is cherry-picked away.
 
 Local mode also shares one JVM/driver and shuffles in-process (no network), so
 these numbers measure the job's ability to keep N cores busy, not network

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from dedupe_archived_files_spark.config import PipelineConfig
 from dedupe_archived_files_spark.operators.blocking import (
     block_keys,
+    blocking_products,
     candidate_pairs,
     oversized_blocks,
     with_signature,
@@ -140,6 +141,13 @@ def test_hot_key_block_capped(spark, pages_dfs):
     big = oversized_blocks(keys, cfg)
     hot = big.filter(F.col("sample_url").contains("hot.example.com")).collect()
     assert hot and hot[0]["n_rows"] >= 100
+    # the pipeline-path report (blocking_products' second output, which
+    # computes sample_url in a bounded second pass over only the over-cap
+    # keys and decodes 1-byte channel codes back to names) must agree
+    _, big2 = blocking_products(sig, cfg)
+    hot2 = big2.filter(F.col("sample_url").contains("hot.example.com")).collect()
+    assert hot2 and hot2[0]["n_rows"] == hot[0]["n_rows"]
+    assert hot2[0]["channel"] == "url"
     # no candidate pair from the capped url channel block
     cand = candidate_pairs(sig, cfg)
     hot_pairs = cand.filter(
