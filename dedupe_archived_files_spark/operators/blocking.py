@@ -240,11 +240,13 @@ def blocking_products(
     counts_in = all_keys
     if n_docs:
         n_keys_est = n_docs * (3 + cfg.lsh_bands)
-        n_parts = max(
-            pages_sig.sparkSession.sparkContext.defaultParallelism,
-            -(-n_keys_est // cfg.agg_keys_per_partition),
-        )
-        counts_in = all_keys.repartition(n_parts, "channel", "key")
+        n_parts = -(-n_keys_est // cfg.agg_keys_per_partition)
+        # only override when the data demands MORE partitions than the
+        # session default — a user-specified repartition is exempt from AQE
+        # coalescing, so forcing it on a small corpus would pin a tiny agg
+        # to defaultParallelism tasks instead of letting AQE shrink it
+        if n_parts > pages_sig.sparkSession.sparkContext.defaultParallelism:
+            counts_in = all_keys.repartition(n_parts, "channel", "key")
     counts = counts_in.groupBy("channel", "key").agg(F.count("*").alias("n_rows"))
     # Oversized report: sample_url (min member, identifies the content class)
     # is computed ONLY for keys over the cap — a bounded second pass (member
