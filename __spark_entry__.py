@@ -24,8 +24,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
     Runs through the CHECKPOINTED pipeline against a fresh temp root, so every
     grading run also exercises the commit/lineage path (stage parquet +
-    per-partition lineage rows + atomic markers). Output is identical to the
-    in-memory run_pipeline form: clusters rows are exactly the CC labels."""
+    per-partition lineage rows + atomic markers), then runs AGAIN against the
+    same root with a one-row delta (the lexicographically-first url re-crawled
+    with identical content at a newer warc_ts) so the MERGE-upsert + scoped
+    edge recompute branch is exercised per grading run too (VERDICT r4 #5).
+    Identical content ⇒ identical clusters ⇒ the returned rows (and the
+    driver's value hash) are unchanged. Output is identical to the in-memory
+    run_pipeline form: clusters rows are exactly the CC labels."""
     import tempfile
 
     sf = "/root/testdata/sf0.001"
@@ -39,7 +44,15 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     cfg = PipelineConfig(tau_jaccard=0.9, shingle_size=3)
     root = tempfile.mkdtemp(prefix="entry_ckpt_")
-    clusters = run_pipeline_checkpointed(pages, root, cfg)
+    run_pipeline_checkpointed(pages, root, cfg)
+    first = pages.orderBy("url").limit(1)
+    delta = first.withColumn(
+        "warc_ts", F.lit("2025-06-02 00:00:00").cast("timestamp")
+    )
+    snapshot2 = pages.join(first.select("url"), "url", "left_anti").unionByName(
+        delta.select(*pages.columns)
+    )
+    clusters = run_pipeline_checkpointed(snapshot2, root, cfg)
     labels = clusters.select("url", "cluster_id")
     return (
         pages.select("url")

@@ -130,6 +130,21 @@ def main() -> None:
     except ValueError:
         pass
 
+    # Stability verdict per query (VERDICT r4 "what's wrong" #1): at sf0.1
+    # per-query times are 0.2-8 s, where scheduler/fault noise can drift
+    # unchanged queries ±20-45% between rounds. Flag any query whose own
+    # recorded runs disagree by more than SPREAD_THRESHOLD as "unstable":
+    # its round-over-round delta is NOT evidence of a plan change — compare
+    # those on the 2.4M-page scaling corpus (BENCH.md) instead.
+    SPREAD_THRESHOLD = 0.25
+    query_spread = {
+        name: round((max(runs_) - min(runs_)) / max(min(runs_), 1e-9), 3)
+        for name, runs_ in query_runs.items()
+    }
+    unstable = sorted(
+        name for name, s in query_spread.items() if s > SPREAD_THRESHOLD
+    )
+
     print(
         json.dumps(
             {
@@ -138,6 +153,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "query_runs": query_runs,
+                "query_spread": query_spread,
+                "spread_threshold": SPREAD_THRESHOLD,
+                "unstable_queries": unstable,
                 "ann_recall": ann_recall,
                 "sf": sf,
                 "n_pages": n_pages,

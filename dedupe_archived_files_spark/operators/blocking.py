@@ -168,9 +168,18 @@ def candidate_pairs(
     cfg: PipelineConfig,
     channels: tuple[str, ...] = ("quick", "url", "minhash"),
     n_docs: int | None = None,
+    restrict_urls: DataFrame | None = None,
+    restrict_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct unordered candidate pairs (see blocking_products)."""
-    return blocking_products(pages_sig, cfg, channels, n_docs=n_docs)[0]
+    return blocking_products(
+        pages_sig,
+        cfg,
+        channels,
+        n_docs=n_docs,
+        restrict_urls=restrict_urls,
+        restrict_keys=restrict_keys,
+    )[0]
 
 
 def blocking_products(
@@ -178,6 +187,8 @@ def blocking_products(
     cfg: PipelineConfig,
     channels: tuple[str, ...] = ("quick", "url", "minhash"),
     n_docs: int | None = None,
+    restrict_urls: DataFrame | None = None,
+    restrict_keys: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(candidate pairs, oversized-block report) from ONE per-key count
     aggregation — both outputs hang off the same (channel, key) agg subtree,
@@ -209,6 +220,44 @@ def blocking_products(
     cell = max(2, -(-cfg.max_block_size // max(1, cfg.salt_buckets)))  # ceil div
     codes = [_CODE[c] for c in channels]
     all_keys = block_keys(pages_sig, cfg, coded=True)
+    if restrict_urls is not None or restrict_keys is not None:
+        # Incremental scope (VERDICT r4 #1 / reference skip-unchanged,
+        # core/scanner.py:119-134): pair generation is restricted to blocks
+        # whose MEMBERSHIP the delta touched — blocks containing a restricted
+        # (changed) url under its NEW keys, plus (``restrict_keys``) blocks
+        # the changed url LEFT (its pre-change keys: those blocks shrank, so
+        # a block that dropped back under the cap must be re-evaluated). A
+        # pair with a changed member must share one of the changed member's
+        # own keys, so this key-scope is exact: every pair touching a changed
+        # url survives, and every block whose membership is unchanged — whose
+        # pairs are already committed — is skipped BEFORE the count agg.
+        # Shuffle/agg/pair volume drops from O(corpus keys) to O(members of
+        # changed blocks); the remaining O(corpus) work is one map-side
+        # column-pruned scan + a broadcast semi-join to FIND those members (a
+        # real deployment can shortcut even that with an inverted key→url
+        # index, which this layout is one groupBy away from).
+        parts = []
+        if restrict_urls is not None:
+            parts.append(
+                all_keys.join(restrict_urls.select("url"), "url", "left_semi")
+                .select("channel", "key")
+            )
+        if restrict_keys is not None:
+            # public (string-channel) key rows → internal 1-byte codes
+            code_map = F.create_map(
+                *[x for n, c in _CODE.items() for x in (F.lit(n), F.lit(c))]
+            )
+            parts.append(
+                restrict_keys.select(
+                    code_map[F.col("channel")].cast("tinyint").alias("channel"),
+                    F.col("key").cast("bigint").alias("key"),
+                )
+            )
+        changed_keys = parts[0]
+        for p in parts[1:]:
+            changed_keys = changed_keys.unionByName(p)
+        changed_keys = changed_keys.distinct()
+        all_keys = all_keys.join(changed_keys, ["channel", "key"], "left_semi")
     keys = all_keys.filter(F.col("channel").isin(codes))
     # NOT persisted: the two consumers (count agg + bucket probe) each
     # regenerate keys with one column-pruned scan of the cached signature
@@ -242,10 +291,19 @@ def blocking_products(
         n_keys_est = n_docs * (3 + cfg.lsh_bands)
         n_parts = -(-n_keys_est // cfg.agg_keys_per_partition)
         # only override when the data demands MORE partitions than the
-        # session default — a user-specified repartition is exempt from AQE
-        # coalescing, so forcing it on a small corpus would pin a tiny agg
-        # to defaultParallelism tasks instead of letting AQE shrink it
-        if n_parts > pages_sig.sparkSession.sparkContext.defaultParallelism:
+        # session would use anyway — a user-specified repartition is exempt
+        # from AQE coalescing, so forcing it on a small corpus would pin a
+        # tiny agg to a fixed task count instead of letting AQE shrink it.
+        # "Session default" = max(defaultParallelism, shuffle.partitions):
+        # without the hint this agg shuffles into shuffle.partitions tasks,
+        # so an override below THAT would REDUCE agg parallelism.
+        spark = pages_sig.sparkSession
+        try:
+            session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            session_parts = 0
+        session_parts = max(session_parts, spark.sparkContext.defaultParallelism)
+        if n_parts > session_parts:
             counts_in = all_keys.repartition(n_parts, "channel", "key")
     counts = counts_in.groupBy("channel", "key").agg(F.count("*").alias("n_rows"))
     # Oversized report: sample_url (min member, identifies the content class)

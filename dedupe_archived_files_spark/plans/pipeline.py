@@ -145,6 +145,68 @@ def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> Pipelin
     )
 
 
+def scoped_incremental_edges(
+    sig: DataFrame,
+    old_edges: DataFrame,
+    changed_urls: DataFrame,
+    old_hashes: DataFrame,
+    cfg: PipelineConfig,
+    old_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Edge-stage MERGE for an incremental run (VERDICT r4 #1): given the
+    merged feature stage ``sig``, the previously committed edge table, and the
+    set of changed/new urls, produce the full new edge table WITHOUT a
+    corpus-wide blocking+scoring pass — the reference's skip-unchanged
+    economics (core/scanner.py:119-134, :332-339) applied to the match tier.
+
+    * DELETE: every committed edge touching a changed url is dropped — its
+      content was replaced, so those matches are stale. Edges between two
+      unchanged urls are kept verbatim: pair candidacy depends only on the
+      two members' own block keys and verification only on their own content,
+      both unchanged.
+    * INSERT (near channels): candidate pairs are generated only inside
+      blocks whose membership the delta touched — blocks containing a changed
+      url under its new keys (``restrict_urls`` pushdown in
+      operators.blocking — exact: a pair with a changed member must share one
+      of the changed member's keys) plus blocks the changed url LEFT
+      (``old_keys``: its pre-change block keys — a block that shrank back
+      under the cap regains its pairs), then scored/verified as usual. Pair
+      and scoring volume is O(members of changed blocks), not O(corpus) —
+      the gate test plants one changed page and asserts the candidate count.
+    * INSERT (exact channel): star edges are rebuilt for every full_hash
+      group containing a changed url — under BOTH its new hash and its
+      pre-change hash (``old_hashes``): if the changed url was the group's
+      canonical (min url), all of that group's old star edges touched it and
+      were deleted, so the survivors need fresh edges under a new canonical.
+
+    Equality with from-scratch holds at the cluster level (CC output; the
+    per-edge union order is nondeterministic in both forms). One documented
+    divergence: a block that crosses ``max_block_size`` only because delta
+    members joined it is capped for NEW pair generation, while its
+    previously verified edges are retained — strictly higher recall than the
+    from-scratch form, which drops the whole block.
+    """
+    cu = changed_urls.select("url").distinct()
+    kept = (
+        old_edges.select("url_a", "url_b", "score", "channel")
+        .join(cu.select(F.col("url").alias("url_a")), "url_a", "left_anti")
+        .join(cu.select(F.col("url").alias("url_b")), "url_b", "left_anti")
+    )
+    cand = candidate_pairs(sig, cfg, restrict_urls=cu, restrict_keys=old_keys)
+    near = verified_edges(pair_features(sig, cand), cfg).select(
+        "url_a", "url_b", "score", "channel"
+    )
+    touched_hashes = (
+        sig.join(cu, "url", "left_semi")
+        .select("full_hash")
+        .unionByName(old_hashes.select("full_hash"))
+        .distinct()
+    )
+    sig_exact = sig.join(touched_hashes, "full_hash", "left_semi")
+    fresh = near.unionByName(exact_star_edges(sig_exact, cfg))
+    return kept.unionByName(fresh).dropDuplicates(["url_a", "url_b"])
+
+
 def run_pipeline_checkpointed(
     pages: DataFrame,
     checkpoint_root: str,
@@ -162,11 +224,16 @@ def run_pipeline_checkpointed(
     Python extract+featurize UDF; they are then MERGE-upserted into the
     committed stage keyed by ``url`` (re-crawl replaces, like the reference's
     per-archive rescan, core/scanner.py:119-134 — NOT an all-or-nothing stage
-    recompute). Downstream edges/clusters are recomputed over the merged
-    features — pure JVM-side join/agg work; the expensive vectorized-UDF
-    featurization of unchanged rows is never repeated. The committed state
-    therefore holds ONE row per url (latest warc_ts wins), and the output
-    equals a from-scratch run over the per-url-latest snapshot.
+    recompute). The edge stage is maintained the same way (VERDICT r4 #1):
+    blocking + scoring rerun ONLY over blocks containing a changed url, and
+    the result MERGEs into the committed edge table (delete edges touching
+    changed urls, insert the scoped recompute — ``scoped_incremental_edges``)
+    — so N changed rows cost O(changed blocks) in pair/scoring volume, not a
+    corpus-wide blocking pass. Clusters are then re-derived from the merged
+    edges (connected components is global by nature; its input is the slim
+    edge table, not the corpus). The committed state holds ONE row per url
+    (latest warc_ts wins), and the output equals a from-scratch run over the
+    per-url-latest snapshot.
 
     Kill-safety contract (FIXTURES.md §4): stages are committed atomically
     (data → lineage → marker); downstream markers are invalidated BEFORE the
@@ -208,6 +275,39 @@ def run_pipeline_checkpointed(
                 new_or_changed(pages, committed), ["url"], "warc_ts"
             )
             if todo.limit(1).count():
+                # Pin the delta's identity BEFORE the upsert: both frames'
+                # plans read the committed pages_text parquet, whose files
+                # the upsert atomically REPLACES — evaluated afterwards they
+                # would see the merged data (changed_urls would come back
+                # empty, old_hashes would return the NEW hashes). Both are
+                # O(changed rows), so the eager pin is cheap.
+                changed_urls = (
+                    todo.select("url").distinct().localCheckpoint(eager=True)
+                )
+                old_hashes = (
+                    committed.join(changed_urls, "url", "left_semi")
+                    .select("full_hash")
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                from dedupe_archived_files_spark.operators.blocking import (
+                    block_keys,
+                )
+
+                # the changed urls' PRE-change block keys: blocks they are
+                # about to LEAVE also change membership and must be
+                # re-evaluated (see scoped_incremental_edges)
+                old_keys = (
+                    block_keys(
+                        committed.join(changed_urls, "url", "left_semi"), cfg
+                    )
+                    .select("channel", "key")
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                # scoped edge maintenance needs the PRE-upsert edge table;
+                # only use it when that table was actually committed
+                edges_scoped_ok = store.is_committed("edges")
                 # stale-downstream guard: uncommit BEFORE the upsert so a
                 # crash between upsert and edge rewrite cannot resume the old
                 # edges against the new features
@@ -218,9 +318,24 @@ def run_pipeline_checkpointed(
                     extract_with_signature(todo, cfg),
                     merge_keys=["url"],
                 )
-                edges = store.write_stage(
-                    "edges", _edges_from(pages_text), key_col="url_a"
-                )
+                if edges_scoped_ok:
+                    # scoped recompute + edge-stage MERGE: blocking/scoring
+                    # run only over blocks touching a changed url; committed
+                    # edges between unchanged urls are carried over verbatim
+                    edges = store.rewrite_stage(
+                        "edges",
+                        lambda old: scoped_incremental_edges(
+                            pages_text, old, changed_urls, old_hashes, cfg,
+                            old_keys=old_keys,
+                        )
+                        if old is not None
+                        else _edges_from(pages_text),
+                        key_col="url_a",
+                    )
+                else:
+                    edges = store.write_stage(
+                        "edges", _edges_from(pages_text), key_col="url_a"
+                    )
                 return store.write_stage(
                     "clusters", _clusters_from(edges), key_col="cluster_id"
                 )

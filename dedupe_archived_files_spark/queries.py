@@ -76,15 +76,32 @@ def exact_dup_clusters_documents(spark, sf_dir):
     )
 
 
-def quick_block_verify_documents(spark, sf_dir):
+def quick_block_verify_documents(spark, sf_dir, max_block_size: int | None = None):
     """Two-tier block-then-verify (J2→J3) on real data: candidates collide on
     the 32-char-prefix quick key; `verified` marks full-content equality —
-    false positives are visible, not silently matched."""
+    false positives are visible, not silently matched.
+
+    Scale-safe like the pipeline path (VERDICT r4 #4): the self-join runs
+    only inside blocks with 2..max_block_size members — a count agg + filter
+    sharing operators.blocking's cap semantics, so a viral boilerplate prefix
+    (millions of pages opening with the same 32 chars at web scale) can never
+    explode into O(n²) pairs in one task. At the test SFs no block exceeds
+    the cap (asserted in tests/test_queries_vs_oracle.py), so the output is
+    identical to the uncapped oracle form."""
+    if max_block_size is None:
+        max_block_size = PipelineConfig().max_block_size
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.md5(F.encode(F.substring("text", 1, 32), "UTF-8")).alias("quick_hash"),
         F.md5(F.encode(F.col("text"), "UTF-8")).alias("full_hash"),
     )
+    kept = (
+        d.groupBy("quick_hash")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_block_size))
+        .select("quick_hash")
+    )
+    d = d.join(kept, "quick_hash", "left_semi")
     a = d.alias("a")
     b = d.alias("b")
     return (
@@ -710,16 +727,22 @@ def embedding_ann_lsh(
     # (r+1)x QUERY-side keys only — candidate volume per query stays
     # ~ b * (r+1) * 64, independent of n; the corpus side still emits one
     # key per table, so the big explode/shuffle is unchanged.
-    probe_masks = F.array(*[F.lit(1 << j) for j in range(r_bits)])
-    bands_q = bands_q.select(
-        "vec_id",
-        F.explode(
-            F.concat(
-                F.array(F.col("tk")),
-                F.transform(probe_masks, lambda m: F.col("tk").bitwiseXOR(m)),
-            )
-        ).alias("tk"),
-    )
+    # Multi-probe applies ONLY to a bounded query set: in all-pairs mode
+    # (n_queries <= 0) "queries" ARE the corpus, and an (r+1)x explode there
+    # would grow the join input superlinearly with n — all-pairs mode stays
+    # single-probe (the b OR-ed tables alone carry its recall, exactly the
+    # MinHash-band trade).
+    if n_queries > 0:
+        probe_masks = F.array(*[F.lit(1 << j) for j in range(r_bits)])
+        bands_q = bands_q.select(
+            "vec_id",
+            F.explode(
+                F.concat(
+                    F.array(F.col("tk")),
+                    F.transform(probe_masks, lambda m: F.col("tk").bitwiseXOR(m)),
+                )
+            ).alias("tk"),
+        )
     x, y = bands_q.alias("x"), bands.alias("y")
     cand = (
         x.join(y, (F.col("x.tk") == F.col("y.tk")) & (F.col("x.vec_id") != F.col("y.vec_id")))
@@ -759,6 +782,30 @@ IVF_LLOYD_SWEEPS = 10      # spherical k-means refinement iterations
 IVF_N_PROBE = 12           # cells probed per query (12/~70 cells at 10k
                            # vectors: recall@5 0.95 vs 0.90 at 8 — margin
                            # over the >= 0.9 gate at both test scales)
+IVF_TARGET_CAND_PER_QUERY = 4096  # hard per-query rerank budget: n_centroids
+                           # is derived so n_probe * n / n_centroids stays
+                           # under this (VERDICT r4 #3 — candidate volume
+                           # bounded by config, never silently linear in n)
+
+
+def ivf_n_centroids(n: int, n_probe: int = IVF_N_PROBE) -> int:
+    """Cell count from BOTH sizing rules, capped at IVF_MAX_CENTROIDS:
+
+    * occupancy rule ``sqrt(n/2)`` — balances per-cell rerank volume against
+      probe-selection cost (the classic IVF heuristic);
+    * candidate-budget rule ``n_probe * n / IVF_TARGET_CAND_PER_QUERY`` — the
+      expected rerank volume per query (``n_probe * n / k``) must fit the
+      configured budget.
+
+    Beyond ``n ≈ IVF_MAX_CENTROIDS * IVF_TARGET_CAND_PER_QUERY / n_probe``
+    (~1.4e6 vectors at defaults) the cap makes the budget unattainable with a
+    single coarse level — embedding_ann_ivf then refuses (see its docstring)
+    instead of silently degrading to linear candidate volume."""
+    import numpy as np
+
+    by_occupancy = max(4, int(np.sqrt(max(4, n / 2))))
+    by_budget = -(-(n_probe * n) // IVF_TARGET_CAND_PER_QUERY)  # ceil div
+    return int(min(IVF_MAX_CENTROIDS, max(by_occupancy, by_budget)))
 
 
 def embedding_ann_ivf(
@@ -783,15 +830,20 @@ def embedding_ann_ivf(
       one-shuffle-join shape as the LSH and MinHash band paths);
     * rerank: exact cosine over candidates, batched numpy, top-k per query.
 
-    Scale bounds (VERDICT r3 #2): ``n_centroids`` is capped at
+    Scale bounds (VERDICT r3 #2, r4 #3): ``n_centroids`` is capped at
     IVF_MAX_CENTROIDS = 4096, so the driver-side training collect is at most
-    IVF_TRAIN_SAMPLE × 64 float64 (~8 MB), the centroid matrix closed over by
-    the assign UDF is ≤ 4096 × 64 float64 (~2 MB per Python worker — Arrow
-    batch × 4096 matmul, constant in n), and candidate volume per query is
-    ~ n_probe * n / n_centroids. At 10^12 vectors a single 4096-cell coarse
-    layer yields ~2.4e8-row cells — a production build adds a second-level
-    quantizer per cell (IVF_HNSW-style), which changes constants per cell,
-    not this plan shape. Rows-only driver check (centroids are
+    IVF_TRAIN_SAMPLE × 64 float64 (~8 MB) and the centroid matrix closed over
+    by the assign UDF is ≤ 4096 × 64 float64 (~2 MB per Python worker — Arrow
+    batch × 4096 matmul, constant in n). Candidate volume per query
+    (~ n_probe * n / n_centroids) is BOUNDED BY CONFIG, not just documented:
+    ``ivf_n_centroids`` derives the cell count from the
+    IVF_TARGET_CAND_PER_QUERY budget, and when the centroid cap makes that
+    budget unattainable (n beyond ~1.4e6 at defaults — single coarse level
+    exhausted) this function raises NotImplementedError naming the
+    second-level quantizer (IVF-HNSW-style per-cell sub-quantizer) required,
+    instead of silently degrading to linear-in-n rerank volume; the sign-LSH
+    tables (embedding_ann_lsh, log-n candidate volume) are the shipped scale
+    path past that point. Rows-only driver check (centroids are
     engine-internal); recall vs the brute-force baseline is asserted (and
     printed) in pytest alongside the LSH variant, and reported per bench run."""
     import numpy as np
@@ -801,7 +853,17 @@ def embedding_ann_ivf(
     raw = _t(spark, sf_dir, "embeddings")
     n = n_hint if n_hint is not None else raw.count()
     if n_centroids is None:
-        n_centroids = min(IVF_MAX_CENTROIDS, max(4, int(np.sqrt(max(4, n / 2)))))
+        n_centroids = ivf_n_centroids(n, n_probe)
+        expected_cand = n_probe * n / n_centroids
+        if expected_cand > 2 * IVF_TARGET_CAND_PER_QUERY:
+            raise NotImplementedError(
+                f"single-level IVF cannot hold the per-query candidate budget "
+                f"at n={n}: n_probe*n/n_centroids ≈ {expected_cand:.0f} > "
+                f"{IVF_TARGET_CAND_PER_QUERY} even at the "
+                f"{IVF_MAX_CENTROIDS}-centroid cap — add a second-level "
+                f"per-cell sub-quantizer (IVF-HNSW) or use embedding_ann_lsh "
+                f"(log-n candidate volume) at this scale"
+            )
     n_probe = min(n_probe, n_centroids)
 
     e = raw.select(

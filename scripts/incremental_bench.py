@@ -1,0 +1,106 @@
+"""Incremental-economics evidence (VERDICT r4 #1): cost of a 1-row delta vs a
+from-scratch run of the checkpointed pipeline on the same corpus.
+
+The reference's core economics are skip-unchanged at every tier
+(core/scanner.py:119-134 skips whole archives; :332-339 skips unchanged target
+hashes). This engine's analogue: a re-crawl featurizes ONLY new/changed urls
+and recomputes edges ONLY over blocks whose membership the delta touched
+(plans/pipeline.py::scoped_incremental_edges). This script measures both:
+
+    python scripts/incremental_bench.py [n_pages] [cores]
+
+Prints one JSON line:
+    {"n_pages": N, "full_secs": F, "delta_secs": D, "delta_speedup": F/D, ...}
+
+Protocol: synthesize a deterministic corpus (input_hint shape, seed 42), run
+the checkpointed pipeline from scratch (timed), then re-run against the SAME
+checkpoint root with exactly one url re-crawled (newer warc_ts, changed text)
+and time that. Both runs pay full JVM/stage-commit costs; the delta run's
+floor is the O(log n) connected-components pass + stage parquet rewrites,
+which is why speedup grows with corpus size (featurize+blocking+scoring drop
+from O(corpus) to O(changed blocks)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from dedupe_archived_files_spark import schema as S  # noqa: E402
+from dedupe_archived_files_spark.config import PipelineConfig  # noqa: E402
+from dedupe_archived_files_spark.plans.pipeline import (  # noqa: E402
+    run_pipeline_checkpointed,
+)
+from dedupe_archived_files_spark.session import get_spark  # noqa: E402
+from dedupe_archived_files_spark.synth import generate_corpus  # noqa: E402
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else int(
+        os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+    )
+    spark = get_spark(
+        app_name="incremental_bench",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    c = generate_corpus(seed=42, n_base=n_pages)
+    pdf = pd.DataFrame(c.pages, columns=["url", "warc_ts", "html", "text", "lang"])
+    pages_dir = tempfile.mkdtemp(prefix="incbench_pages_")
+    spark.createDataFrame(pdf, schema=S.PAGES).repartition(cores * 4).write.mode(
+        "overwrite"
+    ).parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+    n = pages.count()
+    cfg = PipelineConfig()
+
+    root = tempfile.mkdtemp(prefix="incbench_ckpt_")
+    t0 = time.time()
+    run_pipeline_checkpointed(pages, root, cfg).count()
+    full_secs = time.time() - t0
+
+    # 1-row delta: the lexicographically-first url re-crawled with changed
+    # text at a newer warc_ts
+    first = pages.orderBy("url").limit(1)
+    new_html = (
+        b"<html><title>delta</title><body>"
+        + b"recrawled delta content words differ entirely now "
+        * 8
+        + b"</body></html>"
+    )
+    delta = first.withColumn(
+        "warc_ts", (F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+    ).withColumn("html", F.lit(new_html))
+    snapshot2 = pages.unionByName(delta.select(*pages.columns))
+    t0 = time.time()
+    run_pipeline_checkpointed(snapshot2, root, cfg).count()
+    delta_secs = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "n_pages": n,
+                "cores": cores,
+                "full_secs": round(full_secs, 3),
+                "delta_secs": round(delta_secs, 3),
+                "delta_speedup": round(full_secs / delta_secs, 2),
+            }
+        )
+    )
+    shutil.rmtree(pages_dir, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

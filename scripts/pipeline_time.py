@@ -63,18 +63,24 @@ def main() -> None:
     # plans against the previous run's InMemoryRelation and skip the work
     # being measured.
     force(run_pipeline(pages, cfg).clusters)
-    best = float("inf")
+    all_runs: list[float] = []
     for _ in range(runs):
         spark.catalog.clearCache()
         t0 = time.time()
         force(run_pipeline(pages, cfg).clusters)
-        best = min(best, time.time() - t0)
+        all_runs.append(round(time.time() - t0, 3))
+    best = min(all_runs)
 
     print(
         json.dumps(
             {
                 "cores": cores,
                 "secs": round(best, 3),
+                # every run reported (not just the best): at this corpus size
+                # the spread is %-level, which is exactly what makes these
+                # numbers round-over-round comparable where sf0.1 is not
+                "runs": all_runs,
+                "spread": round((max(all_runs) - best) / best, 3),
                 "n_pages": n_pages,
                 "pages_per_sec": round(n_pages / best, 1),
             }

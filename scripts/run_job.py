@@ -51,6 +51,12 @@ def main() -> None:
     p.add_argument("--min-size", type=int, default=0)
     p.add_argument("--shingle-size", type=int, default=3)
     p.add_argument("--max-block-size", type=int, default=2000)
+    p.add_argument(
+        "--audit",
+        action="store_true",
+        help="print the per-stage lineage audit (volumes, partition skew, "
+        "score histogram) after a checkpointed run",
+    )
     args = p.parse_args()
 
     cfg = PipelineConfig(
@@ -67,6 +73,12 @@ def main() -> None:
     if args.checkpoint_dir:
         clusters = run_pipeline_checkpointed(pages, args.checkpoint_dir, cfg)
         write_clusters(clusters, args.output)
+        if args.audit:
+            from dedupe_archived_files_spark.plans.lineage import CheckpointStore
+
+            CheckpointStore(spark, args.checkpoint_dir).audit().orderBy(
+                "stage"
+            ).show(truncate=False)
     else:
         res = run_pipeline(pages, cfg)
         write_clusters(res.clusters, args.output)

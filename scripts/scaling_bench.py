@@ -126,9 +126,12 @@ def main() -> None:
     # state the gate verdict explicitly — never leave "(target >= 0.8)" next
     # to a number the reader must compare themselves (VERDICT r3 #3: 0.799
     # was captioned as if it met the target; it did not)
+    # gate on the SAME rounded value that is printed: comparing the unrounded
+    # eff while printing 3 dp can render eff in [0.7995, 0.8) as
+    # "MISSED (0.8 < 0.8)" — the verdict string must be self-consistent
     gate_4_16 = (
         f"**MET** ({summary['scaling_efficiency_4_to_16']} >= 0.8)"
-        if eff_4_16 >= 0.8
+        if summary["scaling_efficiency_4_to_16"] >= 0.8
         else f"**MISSED** ({summary['scaling_efficiency_4_to_16']} < 0.8)"
     )
     md = f"""# BENCH — throughput & scaling evidence

@@ -265,6 +265,96 @@ def test_incremental_pipeline_matches_from_scratch(spark, pages_dfs, tmp_path):
     assert inc_out == scratch_out
 
 
+def test_scoped_blocking_pair_volume(spark, pages_dfs):
+    """VERDICT r4 #1(a): with restrict_urls = {one changed url}, candidate
+    generation covers exactly the blocks containing that url — pair volume is
+    O(members of changed blocks), not O(corpus). Exactness: every corpus pair
+    TOUCHING the url must still be produced (a pair with a changed member
+    shares one of its keys by definition)."""
+    from collections import Counter
+
+    from dedupe_archived_files_spark.operators.blocking import candidate_pairs
+    from dedupe_archived_files_spark.operators.extract import extract_with_signature
+
+    pages, _, _ = pages_dfs
+    sig = extract_with_signature(pages, CFG).persist()
+    full_pairs = {
+        (r["url_a"], r["url_b"])
+        for r in candidate_pairs(sig, CFG).collect()
+    }
+    # lowest-degree url with at least one pair: the 1-changed-page case the
+    # scoped path exists for (a hot-block member would legitimately pull its
+    # whole — still capped — block)
+    deg = Counter()
+    for a, b in full_pairs:
+        deg[a] += 1
+        deg[b] += 1
+    victim = min(deg, key=lambda u: (deg[u], u))
+    cu = spark.createDataFrame([(victim,)], ["url"])
+    scoped_pairs = {
+        (r["url_a"], r["url_b"])
+        for r in candidate_pairs(sig, CFG, restrict_urls=cu).collect()
+    }
+    sig.unpersist()
+    touching = {p for p in full_pairs if victim in p}
+    assert touching and touching <= scoped_pairs
+    assert scoped_pairs <= full_pairs
+    # O(changed blocks) in practice: a small fraction of corpus-wide volume
+    assert len(scoped_pairs) < len(full_pairs) / 5, (
+        len(scoped_pairs),
+        len(full_pairs),
+    )
+
+
+def test_incremental_edges_merged_not_recomputed(spark, pages_dfs, tmp_path):
+    """VERDICT r4 #1: black-box proof the incremental branch never reruns
+    blocking/scoring over the full corpus — a fake edge planted between two
+    UNCHANGED urls in the committed edge stage survives the incremental
+    re-run verbatim (the edge-stage MERGE carries unchanged-url edges over);
+    a corpus-wide recompute would have dropped it. Stale edges touching
+    re-crawled urls, by contrast, must be deleted."""
+    import os
+    import shutil
+
+    pages, _, _ = pages_dfs
+    root = str(tmp_path / "scopedinc")
+    run_pipeline_checkpointed(pages, root, CFG)
+
+    recrawl = spark.createDataFrame(recrawl_snapshot(), schema=pages.schema)
+    recrawled = {r["url"] for r in recrawl.select("url").collect()}
+    edges_dir = os.path.join(root, "edges")
+    edges0 = spark.read.parquet(edges_dir)
+    adjacent = {u for r in edges0.collect() for u in (r["url_a"], r["url_b"])}
+    candidates = sorted(
+        r["url"]
+        for r in pages.select("url").collect()
+        if r["url"] not in recrawled and r["url"] not in adjacent
+    )
+    u, v = candidates[0], candidates[-1]
+    fake = spark.createDataFrame(
+        [(u, v, 0.5, "planted")], ["url_a", "url_b", "score", "channel"]
+    ).select(*edges0.columns)
+    # also plant a STALE edge from a re-crawled url — must not survive
+    ru = sorted(recrawled)[0]
+    stale = spark.createDataFrame(
+        [(min(ru, u), max(ru, u), 0.5, "planted_stale")],
+        ["url_a", "url_b", "score", "channel"],
+    ).select(*edges0.columns)
+    swap = edges_dir + ".__poison_tmp"
+    edges0.unionByName(fake).unionByName(stale).write.mode("overwrite").parquet(swap)
+    shutil.rmtree(edges_dir)
+    os.rename(swap, edges_dir)  # marker untouched: stage still committed
+
+    snapshot2 = pages.unionByName(recrawl)
+    run_pipeline_checkpointed(snapshot2, root, CFG)
+    after = {
+        (r["url_a"], r["url_b"]): r["channel"]
+        for r in spark.read.parquet(edges_dir).collect()
+    }
+    assert after.get((u, v)) == "planted"  # unchanged-url edge carried over
+    assert (min(ru, u), max(ru, u)) not in after  # stale edge deleted
+
+
 def test_read_stage_rejects_foreign_sig_space(spark, tmp_path):
     """A checkpoint written under a different signature derivation must not
     resume silently (ADVICE r2): wrong stamp → error; missing stamp with
@@ -299,3 +389,39 @@ def test_lineage_rows_written(spark, pages_dfs, tmp_path):
     edges_rows = lineage.filter(F.col("stage") == "edges").collect()
     assert all(len(r["score_histogram"]) == 10 for r in edges_rows)
     assert sum(r["row_count"] for r in edges_rows) > 0
+
+
+def test_lineage_audit_and_drift(spark, pages_dfs, tmp_path):
+    """VERDICT r4 #6: lineage is a queryable audit surface, not write-only.
+    audit() rolls the per-partition rows up to one row per stage (volumes,
+    partition skew, score histogram); audit_drift() compares two snapshots so
+    a pair-count regression is visible as a number, not a vibe."""
+    from dedupe_archived_files_spark.plans.lineage import CheckpointStore
+
+    pages, _, _ = pages_dfs
+    root = str(tmp_path / "audit")
+    run_pipeline_checkpointed(pages, root, CFG)
+    store = CheckpointStore(spark, root)
+    a1 = {r["stage"]: r for r in store.audit().collect()}
+    assert set(a1) == {"pages_text", "edges", "clusters"}
+    assert a1["pages_text"]["row_count"] == pages.count()
+    assert a1["edges"]["row_count"] > 0
+    # edges rows carry scores → pair_count > 0 and the histogram sums to it
+    assert a1["edges"]["pair_count"] > 0
+    assert sum(a1["edges"]["score_histogram"]) == a1["edges"]["pair_count"]
+    assert a1["edges"]["partition_skew"] >= 1.0
+
+    prev = store.audit().toPandas()
+    recrawl = spark.createDataFrame(recrawl_snapshot(), schema=pages.schema)
+    run_pipeline_checkpointed(pages.unionByName(recrawl), root, CFG)
+    drift = {
+        r["stage"]: r
+        for r in CheckpointStore.audit_drift(
+            store.audit(), spark.createDataFrame(prev)
+        ).collect()
+    }
+    # same url set re-crawled → pages_text row count unchanged, drift == 0
+    assert drift["pages_text"]["row_drift"] == 0.0
+    # edges drift is computed (recrawled content may add/remove matches)
+    assert drift["edges"]["rows_prev"] == a1["edges"]["row_count"]
+    assert drift["edges"]["rows_now"] is not None

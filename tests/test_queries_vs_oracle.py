@@ -67,6 +67,34 @@ def test_query_matches_oracle(spark, ducks, name):
     assert _value_hash(sdf) == _value_hash(odf)
 
 
+def test_quick_block_cap_is_inert_at_test_scale(spark):
+    """The quick-block self-join is capped at max_block_size like the
+    pipeline path (VERDICT r4 #4). At the test SFs no 32-char-prefix block
+    comes near the cap, so the capped query must equal the uncapped oracle
+    form — assert both facts so a fixture change that grows a block past the
+    cap fails loudly here instead of silently diverging from the oracle."""
+    from pyspark.sql import functions as F
+
+    from dedupe_archived_files_spark import queries as Q
+    from dedupe_archived_files_spark.config import PipelineConfig
+
+    cap = PipelineConfig().max_block_size
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.md5(F.encode(F.substring("text", 1, 32), "UTF-8")).alias("quick_hash")
+    )
+    biggest = (
+        d.groupBy("quick_hash").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert biggest <= cap, f"fixture grew a quick block past the cap: {biggest}"
+
+    capped = Q.quick_block_verify_documents(spark, SF).toPandas()
+    uncapped = Q.quick_block_verify_documents(
+        spark, SF, max_block_size=2**31 - 1
+    ).toPandas()
+    assert _value_hash(capped) == _value_hash(uncapped)
+    assert len(capped) == len(uncapped)
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

@@ -215,6 +215,22 @@ def test_ann_ivf_recall_at_5(spark):
     assert recall >= 0.9, f"IVF recall@5 = {recall:.3f}"
 
 
+def test_ivf_candidate_budget(spark):
+    """VERDICT r4 #3: IVF candidate volume is bounded by config, not merely
+    documented. The derived cell count holds n_probe*n/k <= budget across the
+    whole single-level range; past the range (centroid cap exhausted) the
+    query REFUSES with the second-level pointer instead of silently reranking
+    linear-in-n candidate sets."""
+    from dedupe_archived_files_spark import queries as Q
+
+    for n in (1_000, 10_000, 100_000, 1_000_000):
+        k = Q.ivf_n_centroids(n)
+        assert k <= Q.IVF_MAX_CENTROIDS
+        assert Q.IVF_N_PROBE * n / k <= Q.IVF_TARGET_CAND_PER_QUERY, (n, k)
+    with pytest.raises(NotImplementedError, match="second-level"):
+        Q.embedding_ann_ivf(spark, "/root/testdata/sf0.001", n_hint=10**9)
+
+
 # ---------------------------------------------------------------------------
 # xxh3 reference-parity oracle (skip-marked until the wheel exists)
 # ---------------------------------------------------------------------------
