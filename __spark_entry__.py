@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_cosine": Q.embedding_topk_cosine,
         "embedding_ann_lsh": Q.embedding_ann_lsh,
         "embedding_ann_ivf": Q.embedding_ann_ivf,
+        "embedding_ann_ivf2": Q.embedding_ann_ivf2,
         "embedding_cosine_near_dup": Q.embedding_cosine_near_dup,
         # multimodal plumbing
         "multimodal_binary_meta": Q.multimodal_binary_meta,
@@ -340,8 +341,11 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             ) WHERE rk <= 5
         """,
-        # embedding_ann_lsh: intentionally no oracle (engine-internal hyperplane
-        # constants) → driver records the weaker rows-only check.
+        # embedding_ann_lsh / embedding_ann_ivf / embedding_ann_ivf2:
+        # intentionally no oracle (engine-internal hyperplane / centroid
+        # constants) → driver records the weaker rows-only check; recall vs
+        # the brute-force baseline is gated >= 0.9 in pytest and reported per
+        # bench run (BENCH_r*.json ann_recall).
         "embedding_cosine_near_dup": """
             WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),

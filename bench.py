@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "embedding_topk_cosine",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
+    "embedding_ann_ivf2",
     "embedding_cosine_near_dup",
     "multimodal_binary_meta",
 ]
@@ -107,7 +108,7 @@ def main() -> None:
         for r in Q.embedding_topk_cosine(spark, sf_dir).collect()
     }
     ann_recall = {}
-    for name in ("embedding_ann_lsh", "embedding_ann_ivf"):
+    for name in ("embedding_ann_lsh", "embedding_ann_ivf", "embedding_ann_ivf2"):
         got = {
             (r["query_id"], r["neighbor_id"])
             for r in all_q[name](spark, sf_dir).collect()
