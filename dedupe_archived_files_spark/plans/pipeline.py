@@ -152,6 +152,7 @@ def scoped_incremental_edges(
     old_hashes: DataFrame,
     cfg: PipelineConfig,
     old_keys: DataFrame | None = None,
+    out: dict | None = None,
 ) -> DataFrame:
     """Edge-stage MERGE for an incremental run (VERDICT r4 #1): given the
     merged feature stage ``sig``, the previously committed edge table, and the
@@ -204,7 +205,82 @@ def scoped_incremental_edges(
     )
     sig_exact = sig.join(touched_hashes, "full_hash", "left_semi")
     fresh = near.unionByName(exact_star_edges(sig_exact, cfg))
+    if out is not None:
+        # endpoints of the INSERTED edges (lazy, O(changed blocks)): the
+        # clusters-stage scoping (scoped_incremental_clusters) needs them to
+        # mark which old components the delta can possibly touch
+        out["fresh_urls"] = (
+            fresh.select(F.col("url_a").alias("url"))
+            .unionByName(fresh.select(F.col("url_b").alias("url")))
+            .distinct()
+        )
     return kept.unionByName(fresh).dropDuplicates(["url_a", "url_b"])
+
+
+def scoped_incremental_clusters(
+    old_clusters: DataFrame,
+    edges: DataFrame,
+    changed_urls: DataFrame,
+    fresh_urls: DataFrame,
+    cfg: PipelineConfig,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Clusters-stage MERGE for an incremental run — the last tier of the
+    reference's skip-unchanged economics (core/scanner.py:119-134): after the
+    edge-stage MERGE, re-run connected components ONLY over the components
+    the delta can possibly have changed, and carry every other component's
+    labels over verbatim.
+
+    Soundness: committed edges connect urls within ONE old component (that is
+    what CC means), so component membership can change only for components
+    containing a changed url or an endpoint of an inserted edge (deleted
+    edges touch changed urls, so their components are already covered).
+    ``target`` = members of those affected components ∪ the fresh endpoints
+    themselves (covers urls with no previous label: new urls, previous
+    singletons) — everything O(changed blocks), not O(corpus).
+
+    The subgraph filter is one semi-join of the edge table against ``target``
+    on url_a alone — exact, because a kept edge lies entirely inside one old
+    component (url_a affected ⇔ the edge's component is affected) and every
+    inserted edge has BOTH endpoints in ``target``. ``target`` is
+    delta-sized, so the join broadcasts: the full edge table is scanned once
+    but never shuffled, and the O(log n) CC rounds run only on the affected
+    subgraph (usually the driver union-find fast path). Labels equal the
+    from-scratch form because component ids are content-derived (min member
+    url), not history-dependent.
+
+    Degenerate case (delta touches most of the corpus): ``target``
+    approaches the corpus and this converges to the full recompute it
+    replaces — never worse asymptotically."""
+    touch = changed_urls.select("url").unionByName(fresh_urls.select("url")).distinct()
+    aff_ids = (
+        old_clusters.join(touch, "url", "left_semi")
+        .select("cluster_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # O(affected components); reused 2x
+    )
+    aff_members = old_clusters.join(
+        F.broadcast(aff_ids), "cluster_id", "left_semi"
+    ).select("url")
+    target = (
+        aff_members.unionByName(touch).distinct().localCheckpoint(eager=True)
+    )
+    sub_edges = edges.join(
+        F.broadcast(target.select(F.col("url").alias("url_a"))),
+        "url_a",
+        "left_semi",
+    )
+    if stats is not None:
+        stats["sub_edges"] = sub_edges.count()
+        stats["affected_components"] = aff_ids.count()
+    sub_labels = connected_components(sub_edges.select("url_a", "url_b"), cfg)
+    # the anti-join key moves cluster_id to column 0 — restore the CLUSTERS
+    # column order so the merged stage is layout-identical to a from-scratch
+    # write (the driver hash compares positionally)
+    keep = old_clusters.join(F.broadcast(aff_ids), "cluster_id", "left_anti")
+    return keep.unionByName(resolve_clusters(sub_labels)).select(
+        "url", "cluster_id", "canonical_url"
+    )
 
 
 def run_pipeline_checkpointed(
@@ -229,11 +305,13 @@ def run_pipeline_checkpointed(
     the result MERGEs into the committed edge table (delete edges touching
     changed urls, insert the scoped recompute — ``scoped_incremental_edges``)
     — so N changed rows cost O(changed blocks) in pair/scoring volume, not a
-    corpus-wide blocking pass. Clusters are then re-derived from the merged
-    edges (connected components is global by nature; its input is the slim
-    edge table, not the corpus). The committed state holds ONE row per url
-    (latest warc_ts wins), and the output equals a from-scratch run over the
-    per-url-latest snapshot.
+    corpus-wide blocking pass. The clusters stage is maintained the same way
+    (``scoped_incremental_clusters``): connected components re-runs only over
+    the components the delta touched (one broadcast semi-join scan of the
+    edge table — no shuffle, no O(log n) CC rounds over the full graph) and
+    every other component's labels carry over verbatim. The committed state
+    holds ONE row per url (latest warc_ts wins), and the output equals a
+    from-scratch run over the per-url-latest snapshot at every tier.
 
     Kill-safety contract (FIXTURES.md §4): stages are committed atomically
     (data → lineage → marker); downstream markers are invalidated BEFORE the
@@ -306,8 +384,16 @@ def run_pipeline_checkpointed(
                     .localCheckpoint(eager=True)
                 )
                 # scoped edge maintenance needs the PRE-upsert edge table;
-                # only use it when that table was actually committed
+                # only use it when that table was actually committed.
+                # Scoped CLUSTER maintenance additionally needs the committed
+                # clusters to be CONSISTENT with those edges — both markers
+                # present at entry means the last complete run wrote both
+                # (edges commits before clusters), so the old labels describe
+                # exactly the old edge set.
                 edges_scoped_ok = store.is_committed("edges")
+                clusters_scoped_ok = edges_scoped_ok and store.is_committed(
+                    "clusters"
+                )
                 # stale-downstream guard: uncommit BEFORE the upsert so a
                 # crash between upsert and edge rewrite cannot resume the old
                 # edges against the new features
@@ -318,6 +404,7 @@ def run_pipeline_checkpointed(
                     extract_with_signature(todo, cfg),
                     merge_keys=["url"],
                 )
+                fresh_box: dict = {}
                 if edges_scoped_ok:
                     # scoped recompute + edge-stage MERGE: blocking/scoring
                     # run only over blocks touching a changed url; committed
@@ -326,7 +413,7 @@ def run_pipeline_checkpointed(
                         "edges",
                         lambda old: scoped_incremental_edges(
                             pages_text, old, changed_urls, old_hashes, cfg,
-                            old_keys=old_keys,
+                            old_keys=old_keys, out=fresh_box,
                         )
                         if old is not None
                         else _edges_from(pages_text),
@@ -335,6 +422,24 @@ def run_pipeline_checkpointed(
                 else:
                     edges = store.write_stage(
                         "edges", _edges_from(pages_text), key_col="url_a"
+                    )
+                if clusters_scoped_ok and "fresh_urls" in fresh_box:
+                    # clusters-stage MERGE: CC re-runs only over components
+                    # the delta touched; unaffected labels carry over (the
+                    # fresh_urls pin re-runs the O(changed blocks) scoped
+                    # blocking subtree once — its plan reads the committed
+                    # pages_text, not the edge dir, so it is swap-safe)
+                    fresh_urls = fresh_box["fresh_urls"].localCheckpoint(
+                        eager=True
+                    )
+                    return store.rewrite_stage(
+                        "clusters",
+                        lambda oldc: scoped_incremental_clusters(
+                            oldc, edges, changed_urls, fresh_urls, cfg
+                        )
+                        if oldc is not None
+                        else _clusters_from(edges),
+                        key_col="cluster_id",
                     )
                 return store.write_stage(
                     "clusters", _clusters_from(edges), key_col="cluster_id"

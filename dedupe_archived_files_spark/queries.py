@@ -1028,6 +1028,7 @@ def embedding_ann_ivf2(
     n_probe2: int = IVF2_N_PROBE2,
     n_queries: int | None = None,
     n_hint: int | None = None,
+    stats: dict | None = None,
 ):
     """Two-level IVF ANN — the second-level per-cell sub-quantizer that
     resolves single-level IVF's linear-candidate-volume ceiling (VERDICT r4
@@ -1058,7 +1059,10 @@ def embedding_ann_ivf2(
 
     A cell whose members were all excluded by the training sample (possible
     only for near-empty cells) falls back to sub=0 on BOTH the member and
-    probe sides, so its members stay reachable. Rows-only driver check
+    probe sides, so its members stay reachable. Like the LSH multi-probe,
+    this is a bounded-query-set variant: in all-pairs mode (n_queries <= 0)
+    the probe side becomes the corpus x n_probe1 — pay that knowingly or use
+    the banded channels for corpus-wide dedup. Rows-only driver check
     (centroids are engine-internal); recall vs the brute-force baseline is
     gated >= 0.9 in pytest and reported per bench run like the other ANN
     variants."""
@@ -1099,7 +1103,14 @@ def embedding_ann_ivf2(
         V = np.vstack([np.asarray(v, dtype=np.float64) for v in vs])
         nrm = np.sqrt((V * V).sum(axis=1))
         sims = (V / np.maximum(nrm, 1e-12)[:, None]) @ C1.T
-        order = np.argsort(-sims, axis=1)
+        # top-probe1 via argpartition (O(k1)/row), then order just those p —
+        # a full argsort over k1≈4096 columns costs ~10x at 10^6-row corpora
+        if sims.shape[1] > probe1:
+            part = np.argpartition(-sims, probe1 - 1, axis=1)[:, :probe1]
+            rows = np.arange(len(part))[:, None]
+            order = part[rows, np.argsort(-sims[rows, part], axis=1)]
+        else:
+            order = np.argsort(-sims, axis=1)
         return pd.DataFrame(
             {
                 "cell": order[:, 0].astype(np.int64),
@@ -1223,6 +1234,12 @@ def embedding_ann_ivf2(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    if stats is not None:
+        # bench instrumentation only (one extra action): measured rerank
+        # volume, to report against the IVF_TARGET_CAND_PER_QUERY budget
+        stats["k1"], stats["k2"] = k1, k2
+        stats["candidates"] = cand.count()
+        stats["cand_per_query"] = stats["candidates"] / max(1, n_queries)
 
     @F.pandas_udf("double")
     def pair_cos(qv: pd.Series, nv: pd.Series, qn: pd.Series, nn: pd.Series) -> pd.Series:

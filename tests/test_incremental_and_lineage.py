@@ -355,6 +355,99 @@ def test_incremental_edges_merged_not_recomputed(spark, pages_dfs, tmp_path):
     assert (min(ru, u), max(ru, u)) not in after  # stale edge deleted
 
 
+def test_scoped_clusters_volume_and_equality(spark):
+    """Clusters-stage scoping (the last skip-unchanged tier): CC re-runs only
+    over components the delta touched — sub-edge volume is O(affected), and
+    the merged labels equal a from-scratch CC over the merged edge table."""
+    from dedupe_archived_files_spark.operators.clustering import (
+        connected_components,
+        resolve_clusters,
+    )
+    from dedupe_archived_files_spark.plans.pipeline import (
+        scoped_incremental_clusters,
+    )
+
+    # old graph: chain {a1,a2,a3}, pair {b1,b2}, pair {c1,c2}, 50 fillers
+    old_edges = (
+        [("a1", "a2"), ("a2", "a3"), ("b1", "b2"), ("c1", "c2")]
+        + [(f"f{i:02d}x", f"f{i:02d}y") for i in range(50)]
+    )
+    old_df = spark.createDataFrame(old_edges, ["url_a", "url_b"])
+    old_clusters = resolve_clusters(connected_components(old_df, CFG))
+
+    # delta: b1's content changed — its old edge (b1,b2) is deleted, and it
+    # now matches c1 instead
+    kept = old_df.filter(~((F.col("url_a") == "b1") | (F.col("url_b") == "b1")))
+    fresh = spark.createDataFrame([("b1", "c1")], ["url_a", "url_b"])
+    merged = kept.unionByName(fresh)
+    changed = spark.createDataFrame([("b1",)], ["url"])
+    fresh_urls = spark.createDataFrame([("b1",), ("c1",)], ["url"])
+
+    stats: dict = {}
+    inc = scoped_incremental_clusters(
+        old_clusters, merged, changed, fresh_urls, CFG, stats=stats
+    )
+    scratch = resolve_clusters(connected_components(merged, CFG))
+    inc_rows = sorted(tuple(r) for r in inc.collect())
+    scratch_rows = sorted(tuple(r) for r in scratch.collect())
+    assert inc_rows == scratch_rows
+    # volume: only the b and c components were touched (2 of 53); their
+    # surviving edges are (c1,c2) + the fresh (b1,c1)
+    assert stats["affected_components"] == 2
+    assert stats["sub_edges"] == 2, stats
+
+
+def test_incremental_clusters_carry_over_not_recomputed(spark, pages_dfs, tmp_path):
+    """Black-box proof the incremental branch never re-runs CC over the full
+    graph: a sentinel cluster_id planted on an UNCHANGED url (whose component
+    the re-crawl does not touch) in the committed clusters stage survives the
+    incremental re-run verbatim — a global recompute would overwrite it."""
+    import os
+    import shutil
+
+    pages, _, _ = pages_dfs
+    root = str(tmp_path / "scopedcc")
+    run_pipeline_checkpointed(pages, root, CFG)
+
+    recrawl = spark.createDataFrame(recrawl_snapshot(), schema=pages.schema)
+    recrawled = {r["url"] for r in recrawl.select("url").collect()}
+    clusters_dir = os.path.join(root, "clusters")
+    clusters0 = spark.read.parquet(clusters_dir)
+    # victim: a clustered url whose component contains no re-crawled url →
+    # the delta cannot affect its component (fresh edges live inside changed
+    # blocks; the synth recrawl's new content matches nothing else)
+    comp_of = {r["url"]: r["cluster_id"] for r in clusters0.collect()}
+    comp_members: dict = {}
+    for u, cid in comp_of.items():
+        comp_members.setdefault(cid, set()).add(u)
+    victim = next(
+        u
+        for u in sorted(comp_of)
+        if u not in recrawled and not (comp_members[comp_of[u]] & recrawled)
+    )
+    sentinel = "zzz://sentinel-cluster"
+    poisoned = clusters0.withColumn(
+        "cluster_id",
+        F.when(F.col("url") == victim, F.lit(sentinel)).otherwise(
+            F.col("cluster_id")
+        ),
+    )
+    swap = clusters_dir + ".__poison_tmp"
+    poisoned.write.mode("overwrite").parquet(swap)
+    shutil.rmtree(clusters_dir)
+    os.rename(swap, clusters_dir)  # marker untouched: stage still committed
+
+    snapshot2 = pages.unionByName(recrawl)
+    run_pipeline_checkpointed(snapshot2, root, CFG)
+    after = {
+        r["url"]: r["cluster_id"]
+        for r in spark.read.parquet(clusters_dir).collect()
+    }
+    # the unaffected component's rows were carried over verbatim, sentinel
+    # included → CC never ran over that part of the graph
+    assert after[victim] == sentinel
+
+
 def test_read_stage_rejects_foreign_sig_space(spark, tmp_path):
     """A checkpoint written under a different signature derivation must not
     resume silently (ADVICE r2): wrong stamp → error; missing stamp with
