@@ -13,11 +13,18 @@ Prints one JSON line with per-variant secs / recall@5 / measured candidate
 volume vs the configured budget.
 
 Corpus: deterministic clustered vectors (no external data): 64-dim, vector i
-belongs to cluster i % N_CLUSTERS; both centroid and noise components come
-from a counter-based integer hash of (i, dim) — reproducible across runs,
-partitionings, and batch sizes. Cluster structure makes top-5 neighbors
-non-degenerate (mostly same-cluster), which is what an ANN recall metric
-needs.
+belongs to cluster i % n_clusters; both centroid and noise components come
+from a counter-based splitmix64-style hash of (i, dim) — reproducible across
+runs, partitionings, and batch sizes. The cluster count scales with n
+(~CLUSTER_MEMBERS members per cluster at any n): constant per-cluster
+membership keeps the ground truth well-separated — a query's true top-5 are
+same-cluster (cos ~= the intra-cluster level) vs cross-cluster (~0), so
+recall@5 measures bucket/cell ROUTING, the thing an ANN index actually
+varies. (A fixed cluster count would make membership grow linearly in n and
+the "top-5" a near-tie among hundreds of equidistant members — a tie-breaking
+lottery, not an index metric. It is also the realistic web-dedupe regime:
+duplicate groups do not grow 800-wide as the corpus grows; the number of
+groups grows instead.)
 """
 
 from __future__ import annotations
@@ -38,28 +45,45 @@ from pyspark.sql import functions as F  # noqa: E402
 from dedupe_archived_files_spark import queries as Q  # noqa: E402
 from dedupe_archived_files_spark.session import get_spark  # noqa: E402
 
-N_CLUSTERS = 5000
-NOISE = 0.35  # relative to the unit centroid: close same-cluster neighbors
+CLUSTER_MEMBERS = 20  # ~members per cluster at any n (n_clusters = n / 20)
+# Per-dim uniform noise half-width. Total noise power vs the unit centroid
+# is 64*NOISE^2/3, so member-member cosine ~= 1/(1 + 64*NOISE^2/3): 0.09
+# targets ~0.85 — the near-duplicate similarity regime — leaving the true
+# top-5 well above the max cross-cluster cosine (~0.6 at 4M vectors in 64-d).
+NOISE = 0.09
 
-_M1 = np.int64(2654435761)  # Knuth multiplicative hash constants
-_M2 = np.int64(40503)
-_MOD = np.int64(2**31 - 1)
+_C1 = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 constants (public domain)
+_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_C3 = np.uint64(0x94D049BB133111EB)
 
 
 def _hash_unit(ids: np.ndarray, salt: int) -> np.ndarray:
     """(len(ids), 64) deterministic pseudo-random matrix in [-1, 1): a
-    counter-based integer hash of (id, dim, salt) — identical for a given id
-    regardless of batch composition or partitioning."""
-    J = np.arange(64, dtype=np.int64)[None, :]
-    h = (ids[:, None] * _M1 + (J + np.int64(salt) * 64) * _M2 + 12345) % _MOD
-    return (h.astype(np.float64) / float(_MOD)) * 2.0 - 1.0
+    splitmix64-style finalizer over (id, dim, salt) — identical for a given
+    id regardless of batch composition or partitioning. The xor-shift rounds
+    matter: a plain affine hash (a*id + b*dim) % m makes two ids' rows differ
+    by a CONSTANT across all dims — rank-1 'noise' that collapses every
+    cluster member onto (nearly) one vector and turns the top-5 ground truth
+    into an exact tie at cos=1."""
+    J = np.arange(64, dtype=np.uint64)[None, :]
+    x = ids.astype(np.uint64)[:, None] * _C1 + (
+        J + np.uint64(salt) * np.uint64(64) + np.uint64(1)
+    ) * _C2
+    x ^= x >> np.uint64(30)
+    x *= _C2
+    x ^= x >> np.uint64(27)
+    x *= _C3
+    x ^= x >> np.uint64(31)
+    return (x.astype(np.float64) / float(2**64)) * 2.0 - 1.0
 
 
 def gen_embeddings(spark, n: int, out_dir: str, parts: int) -> None:
+    n_clusters = max(1000, n // CLUSTER_MEMBERS)
+
     def gen(batches):
         for pdf in batches:
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            cl = ids % N_CLUSTERS
+            cl = ids % n_clusters
             cent = _hash_unit(cl, salt=1)
             cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
             noise = _hash_unit(ids, salt=2) * NOISE
@@ -126,6 +150,12 @@ def main() -> None:
     out["lsh_recall_at_5"] = round(len(truth & got) / max(1, len(truth)), 3)
 
     print(json.dumps(out))
+    # persist for BENCH.md regeneration (scripts/scaling_bench.py embeds the
+    # latest ANN-at-scale evidence when this artifact is present)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "ANN_SCALE.json"), "w") as f:
+        json.dump(out, f)
+        f.write("\n")
     shutil.rmtree(sf_dir, ignore_errors=True)
     spark.stop()
 

@@ -86,17 +86,27 @@ def main() -> None:
     run_pipeline_checkpointed(snapshot2, root, cfg).count()
     delta_secs = time.time() - t0
 
-    print(
-        json.dumps(
-            {
-                "n_pages": n,
-                "cores": cores,
-                "full_secs": round(full_secs, 3),
-                "delta_secs": round(delta_secs, 3),
-                "delta_speedup": round(full_secs / delta_secs, 2),
-            }
-        )
-    )
+    result = {
+        "n_pages": n,
+        "cores": cores,
+        "full_secs": round(full_secs, 3),
+        "delta_secs": round(delta_secs, 3),
+        "delta_speedup": round(full_secs / delta_secs, 2),
+    }
+    print(json.dumps(result))
+    # persist for BENCH.md regeneration (scripts/scaling_bench.py embeds the
+    # recorded runs when this artifact is present); one entry per corpus size
+    # so the speedup-vs-size trend stays visible
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    art = os.path.join(repo, "INCREMENTAL.json")
+    runs = []
+    if os.path.exists(art):
+        with open(art) as f:
+            runs = json.load(f).get("runs", [])
+    runs = [r for r in runs if r["n_pages"] != n] + [result]
+    with open(art, "w") as f:
+        json.dump({"runs": sorted(runs, key=lambda r: r["n_pages"])}, f)
+        f.write("\n")
     shutil.rmtree(pages_dir, ignore_errors=True)
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()

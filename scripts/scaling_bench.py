@@ -204,8 +204,99 @@ Measured: {summary['measured_at']}
 {json.dumps(summary)}
 ```
 """
+    md += _incremental_section()
+    md += _ann_section()
     with open("BENCH.md", "w") as f:
         f.write(md)
+
+
+def _incremental_section() -> str:
+    """Embed the recorded incremental-economics evidence
+    (scripts/incremental_bench.py writes INCREMENTAL.json)."""
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "INCREMENTAL.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        runs = json.load(f)["runs"]
+    rows = "\n".join(
+        f"| {r['n_pages']} | {r['full_secs']} | {r['delta_secs']} | {r['delta_speedup']}× |"
+        for r in runs
+    )
+    trend = ""
+    if len(runs) >= 2:
+        a, b = runs[0], runs[-1]
+        dn = b["n_pages"] - a["n_pages"]
+        full_slope = (b["full_secs"] - a["full_secs"]) / dn * 1e6
+        delta_slope = (b["delta_secs"] - a["delta_secs"]) / dn * 1e6
+        ratio = full_slope / max(delta_slope, 1e-9)
+        trend = f"""
+The delta run is nearly flat in corpus size ({delta_slope:.0f} µs/page —
+the full-stage parquet rewrite this store pays in place of a real Iceberg
+file-level MERGE, plus ~{a['delta_secs']:.0f}s fixed commit/scheduling
+latency) while the from-scratch run grows at {full_slope:.0f} µs/page
+(featurize + blocking + scoring + CC), so the speedup grows with corpus size
+toward the slope ratio ~{ratio:.0f}× in this store. The COMPUTE paid by the
+delta run is O(changed blocks) by construction — proven by the pair-volume
+and sentinel carry-over tests (tests/test_incremental_and_lineage.py), not
+by these wall-clocks — and on an Iceberg-backed store the remaining
+O(corpus) rewrite I/O drops to O(changed files)."""
+    return f"""
+## Incremental economics (1-row re-crawl vs from-scratch, local[{runs[-1]['cores']}])
+
+`scripts/incremental_bench.py <n_pages>` — from-scratch checkpointed run vs a
+1-row re-crawl against the same checkpoint root. The delta run featurizes
+ONLY the changed url, re-runs blocking/scoring only over blocks whose
+membership the delta touched, MERGEs into the committed edge table, and
+re-runs connected components only over the components the delta touched
+(`plans/pipeline.py::scoped_incremental_edges` / `scoped_incremental_clusters`
+— the reference's skip-unchanged economics at every tier,
+core/scanner.py:119-134):
+
+| pages | from scratch (s) | 1-row delta (s) | speedup |
+|---|---|---|---|
+{rows}
+{trend}
+
+```json
+{json.dumps({'runs': runs})}
+```
+"""
+
+
+def _ann_section() -> str:
+    """Embed the latest ANN-at-scale evidence (scripts/ann_scale_bench.py
+    writes ANN_SCALE.json) so regenerating BENCH.md never drops it."""
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ANN_SCALE.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        a = json.load(f)
+    return f"""
+## ANN at scale ({a['n_vectors'] / 1e6:.0f}M vectors, local[{a['cores']}])
+
+`scripts/ann_scale_bench.py {a['n_vectors']}` — deterministic clustered
+corpus (64-dim, ~20 members/cluster, intra-member cosine ~0.85 vs
+cross-cluster max ~0.6: ground truth measures bucket/cell ROUTING, not
+tie-breaking). Recall@5 vs the exact distributed brute-force top-k:
+
+| variant | secs | recall@5 | notes |
+|---|---|---|---|
+| brute-force top-k (baseline) | {a['brute_force_secs']} | 1.0 (exact) | one-pass matmul over the corpus |
+| single-level IVF | — | — | **refuses** at this n (candidate budget unattainable at the 4096-centroid cap) — refused: {a['single_level_refused']} |
+| two-level IVF (`embedding_ann_ivf2`) | {a['ivf2_secs']} | {a['ivf2_recall_at_5']} | k1={a['ivf2_k1']}, k2={a['ivf2_k2']}; measured {a['ivf2_cand_per_query']:.0f} candidates/query vs the {a['cand_budget']} sizing budget (×{a['ivf2_cand_per_query'] / a['cand_budget']:.2f} — expected-value sizing, skewed cells run slightly over; the refusal gate trips at 2×) |
+| sign-LSH multi-probe (`embedding_ann_lsh`) | {a['lsh_secs']} | {a['lsh_recall_at_5']} | adaptive r = log2(n/64) bits/table |
+
+ivf2's wall-clock includes building the index (train + assign all
+{a['n_vectors'] / 1e6:.0f}M vectors) for a 100-query batch; its marginal
+per-query cost is the ~{a['cand_per_query'] if 'cand_per_query' in a else a['ivf2_cand_per_query']:.0f}-candidate
+rerank (~1000× fewer comparisons than brute force). Locally a one-pass matmul
+is hard to beat; the index pays off when it is built once and probed by many
+query batches, or when the corpus no longer fits a single scan per batch.
+
+```json
+{json.dumps(a)}
+```
+"""
 
 
 if __name__ == "__main__":
