@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_near_dup": Q.embedding_cosine_near_dup,
         # multimodal plumbing
         "multimodal_binary_meta": Q.multimodal_binary_meta,
+        # archive enumeration (reference S3-S7/S9-S11 core domain)
+        "archive_member_enumeration": Q.archive_member_enumeration,
     }
 
 
@@ -368,6 +370,17 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_binary_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS content_md5, (text LIKE '<%') AS looks_html
+            FROM documents
+        """,
+        # archive round-trip: the oracle rebuilds the expected member rows
+        # straight from the documents table (member bytes are the UTF-8 text
+        # by construction), so a hash match proves pack → sniff → enumerate
+        # surfaced every member exactly once, byte-exact
+        "archive_member_enumeration": """
+            SELECT lang || '/' || CAST(doc_id % 8 AS VARCHAR) AS archive_id,
+                   CAST(doc_id AS VARCHAR) || '.txt' AS member_path,
+                   CAST(strlen(coalesce(text, '')) AS BIGINT) AS member_size,
+                   sha256(coalesce(text, '')) AS full_hash
             FROM documents
         """,
     }

@@ -1321,3 +1321,43 @@ def multimodal_binary_meta(spark, sf_dir):
         F.md5(blob).alias("content_md5"),
         F.col("text").startswith("<").alias("looks_html"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Archive enumeration (reference S3-S7/S9-S11 — its core domain)
+# ---------------------------------------------------------------------------
+
+def archive_member_enumeration(spark, sf_dir):
+    """S3-S7/S10/S11 end-to-end on the driver tables: pack documents into
+    deterministic per-(lang, doc_id%8) ZIP blobs (applyInPandas, sorted
+    members, fixed timestamps), magic-sniff + enumerate the members back out
+    with the archive source (mapInPandas flatMap shape), and emit
+    (archive_id, member_path, member_size, full_hash). The oracle rebuilds
+    the identical rows straight from the documents table, proving the
+    pack → sniff → enumerate → hash path is lossless and byte-exact
+    (reference invariant: every member of every archive surfaces exactly
+    once with its true size and content hash, core/extractor.py:89).
+
+    Scale shape: pack groups are (lang, bucket)-bounded so no single blob
+    outgrows a task; enumeration is shuffle-free row expansion; the hash is
+    JVM-side sha2 over the member bytes."""
+    from dedupe_archived_files_spark.sources.archives import (
+        enumerate_archive_members,
+        pack_zip_groups,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat_ws(
+            "/", F.col("lang"), F.pmod(F.col("doc_id"), F.lit(8)).cast("string")
+        ).alias("archive_id"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias("member_name"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    packed = pack_zip_groups(docs, "archive_id", "member_name", "text")
+    members = enumerate_archive_members(packed)
+    return members.filter(F.col("status") == "ok").select(
+        F.col("archive_path").alias("archive_id"),
+        "member_path",
+        "member_size",
+        F.sha2(F.col("content"), 256).alias("full_hash"),
+    )

@@ -199,3 +199,177 @@ def test_stateful_dedupe_stream(spark, tmp_path):
     assert "u1" in urls and "u4" in urls
     assert ("u2" in urls) != ("u3" in urls)
     assert len({r["full_hash"] for r in rows}) == 3
+
+
+# ---------------------------------------------------------------------------
+# Archive enumeration source (reference S3-S7/S9-S11, sources/archives.py)
+# ---------------------------------------------------------------------------
+
+def _zip_bytes(members, compression=None):
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    comp = compression if compression is not None else zipfile.ZIP_DEFLATED
+    with zipfile.ZipFile(buf, "w", compression=comp) as zf:
+        for name, data in members:
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def _tar_gz_bytes(members):
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for name, data in members:
+            import time
+
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_archive_enumeration_zip_tar_gzip(spark):
+    """S3/S4 + gzip single-file: every regular member surfaces exactly once
+    with true size+bytes; directories are skipped (extractor.py:186-223)."""
+    import gzip as _gzip
+
+    from dedupe_archived_files_spark.sources.archives import (
+        enumerate_archive_members,
+    )
+
+    z = _zip_bytes([("a.txt", b"alpha"), ("dir/b.txt", b"beta")])
+    t = _tar_gz_bytes([("c.txt", b"gamma"), ("sub/d.txt", b"delta")])
+    g = _gzip.compress(b"epsilon")
+    df = spark.createDataFrame(
+        [("s3://x/one.zip", z), ("s3://x/two.tar.gz", t), ("s3://x/e.txt.gz", g)],
+        "path string, content binary",
+    )
+    rows = {
+        (r["archive_path"], r["member_path"]): r
+        for r in enumerate_archive_members(df).collect()
+    }
+    assert rows[("s3://x/one.zip", "a.txt")]["content"] == bytearray(b"alpha")
+    assert rows[("s3://x/one.zip", "dir/b.txt")]["member_size"] == 4
+    assert rows[("s3://x/two.tar.gz", "c.txt")]["status"] == "ok"
+    assert rows[("s3://x/two.tar.gz", "sub/d.txt")]["content"] == bytearray(b"delta")
+    assert rows[("s3://x/e.txt.gz", "e.txt")]["content"] == bytearray(b"epsilon")
+    assert all(r["depth"] == 0 for r in rows.values())
+    assert len(rows) == 5
+
+
+def test_archive_nested_recursion_and_depth_cap(spark):
+    """S10: zip-in-zip expands in-task with `parent/child` path prefixes
+    (extractor.py:608-613); the depth cap quarantines, never recurses
+    unbounded (extractor.py:68,102-104) — and the cap is REPORTED."""
+    from dedupe_archived_files_spark.sources.archives import (
+        enumerate_archive_members,
+    )
+
+    inner = _zip_bytes([("leaf.txt", b"leafdata")])
+    mid = _zip_bytes([("inner.zip", inner), ("mid.txt", b"middata")])
+    outer = _zip_bytes([("mid.zip", mid)])
+    df = spark.createDataFrame([("outer.zip", outer)], "path string, content binary")
+
+    out = enumerate_archive_members(df).collect()
+    by_path = {r["member_path"]: r for r in out}
+    assert by_path["mid.zip"]["is_nested_archive"] and (
+        by_path["mid.zip"]["status"] == "nested_expanded"
+    )
+    assert by_path["mid.zip/inner.zip"]["depth"] == 1
+    leaf = by_path["mid.zip/inner.zip/leaf.txt"]
+    assert leaf["status"] == "ok" and leaf["depth"] == 2
+    assert leaf["content"] == bytearray(b"leafdata")
+    assert by_path["mid.zip/mid.txt"]["status"] == "ok"
+
+    # depth cap: same nesting, max_depth=2 → inner.zip is NOT expanded and
+    # the refusal is visible as a status row
+    capped = enumerate_archive_members(df, max_depth=2).collect()
+    cap_by_path = {r["member_path"]: r for r in capped}
+    assert cap_by_path["mid.zip/inner.zip"]["status"] == "depth_cap"
+    assert "mid.zip/inner.zip/leaf.txt" not in cap_by_path
+
+
+def test_archive_quarantine_and_unsupported(spark):
+    """S9 error semantics: corrupt/unsupported/missing blobs become status
+    rows; sibling archives in the same Arrow batch still enumerate."""
+    from dedupe_archived_files_spark.sources.archives import (
+        enumerate_archive_members,
+    )
+
+    good = _zip_bytes([("ok.txt", b"fine")])
+    corrupt = b"PK\x03\x04" + b"\x00" * 16  # zip magic, garbage body
+    seven = b"7z\xbc\xaf\x27\x1c" + b"\x00" * 8  # 7z magic, wheel absent
+    df = spark.createDataFrame(
+        [
+            ("good.zip", good),
+            ("bad.zip", corrupt),
+            ("x.7z", seven),
+            ("none.zip", None),
+            ("plain.txt", b"just text"),
+        ],
+        "path string, content binary",
+    )
+    rows = enumerate_archive_members(df).collect()
+    status = {r["archive_path"]: r["status"] for r in rows}
+    assert status["good.zip"] == "ok"
+    assert status["bad.zip"].startswith("corrupt:")
+    assert status["x.7z"] == "unsupported:7z"
+    assert status["none.zip"] == "missing"
+    assert status["plain.txt"] == "not_an_archive"
+    assert len(rows) == 5
+
+
+def test_pack_zip_groups_deterministic_roundtrip(spark):
+    """pack_zip_groups is byte-deterministic across partitionings (fixed
+    timestamps, sorted members) and round-trips through enumeration."""
+    from dedupe_archived_files_spark.sources.archives import (
+        enumerate_archive_members,
+        pack_zip_groups,
+    )
+
+    data = [(f"g{i % 2}", f"m{i}.txt", f"text {i}") for i in range(6)]
+    df1 = spark.createDataFrame(data, "g string, name string, text string")
+    df8 = spark.createDataFrame(data, "g string, name string, text string").repartition(8)
+    p1 = {r["path"]: bytes(r["content"]) for r in pack_zip_groups(df1, "g", "name", "text").collect()}
+    p8 = {r["path"]: bytes(r["content"]) for r in pack_zip_groups(df8, "g", "name", "text").collect()}
+    assert p1 == p8 and len(p1) == 2
+
+    packed = pack_zip_groups(df1, "g", "name", "text")
+    members = enumerate_archive_members(packed).collect()
+    got = {(r["archive_path"], r["member_path"]): bytes(r["content"]) for r in members}
+    assert got == {(g, n): t.encode() for g, n, t in data}
+
+
+def test_cross_archive_duplicate_detection(spark):
+    """The reference's headline workflow end-to-end: enumerate two archives,
+    bridge members into the pages shape, run the exact-dedup operator — the
+    shared member dedupes ACROSS archives under its composite
+    `archive#member` identity (core/scanner.py Phase 1-2 semantics)."""
+    from dedupe_archived_files_spark.operators.dedupe import (
+        exact_duplicate_clusters,
+    )
+    from dedupe_archived_files_spark.operators.extract import extract_pages
+    from dedupe_archived_files_spark.sources.archives import (
+        archive_members_as_pages,
+        enumerate_archive_members,
+    )
+
+    shared = b"identical content shared by both archives, long enough to hash"
+    z1 = _zip_bytes([("keep/shared.txt", shared), ("only1.txt", b"unique one")])
+    z2 = _zip_bytes([("other/shared_copy.txt", shared), ("only2.txt", b"unique two")])
+    df = spark.createDataFrame(
+        [("a1.zip", z1), ("a2.zip", z2)], "path string, content binary"
+    )
+    pages = archive_members_as_pages(enumerate_archive_members(df))
+    clusters = exact_duplicate_clusters(extract_pages(pages)).collect()
+    assert len(clusters) == 1
+    assert sorted(clusters[0]["urls"]) == [
+        "a1.zip#keep/shared.txt",
+        "a2.zip#other/shared_copy.txt",
+    ]
+    assert clusters[0]["canonical_url"] == "a1.zip#keep/shared.txt"
