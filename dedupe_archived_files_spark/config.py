@@ -64,6 +64,14 @@ class PipelineConfig:
     # without the hint it falls back to spark.sql.shuffle.partitions.
     agg_keys_per_partition: int = 600_000
 
+    # Directory buckets for the checkpointed pages_text stage (plain-parquet
+    # analogue of Iceberg file granularity): an incremental MERGE rewrites
+    # only the buckets the delta's urls hash into, so delta I/O is
+    # O(delta x corpus/store_buckets) instead of a full-stage rewrite. At
+    # 10^12 docs this would be sized so one bucket ~ one executor's worth of
+    # files (e.g. 2^14); 64 keeps test-scale file counts sane.
+    store_buckets: int = 64
+
     # --- clustering ---
     max_iterations: int = 10         # CC driver-loop cap (reference depth cap)
     # below this edge count, connected components runs as exact driver-side

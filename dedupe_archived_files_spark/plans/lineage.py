@@ -48,17 +48,51 @@ class CheckpointStore:
         if os.path.exists(marker):
             os.remove(marker)
 
-    def write_stage(self, stage: str, df: DataFrame, key_col: str | None = None) -> DataFrame:
+    # -- bucketing (Iceberg file-granularity analogue) -------------------------
+    BUCKET_COL = "__bucket"
+
+    @staticmethod
+    def _bucket_expr(bucket_key: str, n_buckets: int):
+        return F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(n_buckets)).cast("int")
+
+    def _is_bucketed(self, stage: str) -> bool:
+        path = self._dir(stage)
+        if not os.path.isdir(path):
+            return False
+        return any(n.startswith(f"{self.BUCKET_COL}=") for n in os.listdir(path))
+
+    def write_stage(
+        self,
+        stage: str,
+        df: DataFrame,
+        key_col: str | None = None,
+        bucket_key: str | None = None,
+        n_buckets: int = 64,
+    ) -> DataFrame:
         """Write a stage output + lineage, atomically: data first, lineage
         second, marker last. A crash between any two leaves the stage
-        uncommitted → rerun redoes the whole stage (idempotent overwrite)."""
+        uncommitted → rerun redoes the whole stage (idempotent overwrite).
+
+        ``bucket_key``: hash-partition the stage into ``n_buckets`` directory
+        buckets on that column — the plain-parquet analogue of Iceberg's
+        file-level granularity. A later :meth:`upsert_stage` with the same
+        ``bucket_key`` then rewrites ONLY the buckets the delta touches
+        (O(delta × corpus/n_buckets) I/O) instead of the whole stage."""
         path = self._dir(stage)
-        df.write.mode("overwrite").parquet(path)
+        if bucket_key is not None:
+            (
+                df.withColumn(self.BUCKET_COL, self._bucket_expr(bucket_key, n_buckets))
+                .write.mode("overwrite")
+                .partitionBy(self.BUCKET_COL)
+                .parquet(path)
+            )
+        else:
+            df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
         self._write_lineage(stage, out, key_col)
         with open(self._marker(stage), "w") as f:
             json.dump({"stage": stage, "committed_at": time.time()}, f)
-        return out
+        return out.drop(self.BUCKET_COL)
 
     def read_stage(self, stage: str, require_sig_space: bool = False) -> DataFrame:
         if not self.is_committed(stage):
@@ -88,7 +122,7 @@ class CheckpointStore:
                 f"by an engine predating signature-space stamping) — delete "
                 f"the stage to recompute under '{SIGNATURE_SPACE}'"
             )
-        return df
+        return df.drop(self.BUCKET_COL)
 
     def resume_or_compute(
         self,
@@ -96,15 +130,26 @@ class CheckpointStore:
         compute,
         key_col: str | None = None,
         require_sig_space: bool = False,
+        bucket_key: str | None = None,
+        n_buckets: int = 64,
     ) -> DataFrame:
         """The resume primitive: committed → read back (skip recompute,
         reference J6 semantics); else compute, commit, return."""
         if self.is_committed(stage):
             return self.read_stage(stage, require_sig_space=require_sig_space)
-        return self.write_stage(stage, compute(), key_col)
+        return self.write_stage(
+            stage, compute(), key_col, bucket_key=bucket_key, n_buckets=n_buckets
+        )
 
     # -- upsert (MERGE INTO analogue) -----------------------------------------
-    def upsert_stage(self, stage: str, df: DataFrame, merge_keys: list[str]) -> DataFrame:
+    def upsert_stage(
+        self,
+        stage: str,
+        df: DataFrame,
+        merge_keys: list[str],
+        bucket_key: str | None = None,
+        n_buckets: int = 64,
+    ) -> DataFrame:
         """MERGE-shaped upsert: rows of ``df`` REPLACE committed rows sharing
         the same ``merge_keys`` values; unmatched rows append. On Iceberg this
         whole method is one transactional statement::
@@ -135,14 +180,49 @@ class CheckpointStore:
         drop every pre-merge row)."""
         self.recover_upsert(stage, lineage_key=merge_keys[0])
 
-        if self.is_committed(stage):
-            existing = self.read_stage(stage)
-            kept = existing.join(
+        if not self.is_committed(stage):
+            return self.write_stage(
+                stage, df, merge_keys[0], bucket_key=bucket_key, n_buckets=n_buckets
+            )
+
+        if bucket_key is not None and self._is_bucketed(stage):
+            # Scoped MERGE (Iceberg file-level economics on plain parquet):
+            # rewrite ONLY the directory buckets the delta touches. The
+            # untouched buckets' parquet files are never read OR written —
+            # delta I/O is O(delta × corpus/n_buckets), not O(corpus).
+            expr = self._bucket_expr(bucket_key, n_buckets)
+            delta = df.withColumn(self.BUCKET_COL, expr)
+            touched = sorted(
+                r[0]
+                for r in delta.select(self.BUCKET_COL).distinct().collect()
+            )
+            live = self.spark.read.parquet(self._dir(stage)).filter(
+                F.col(self.BUCKET_COL).isin(touched)  # directory pruning
+            )
+            kept = live.join(
                 df.select(*merge_keys).distinct(), merge_keys, "left_anti"
             )
-            merged = kept.unionByName(df)
-        else:
-            merged = df
+            merged_touched = kept.unionByName(
+                delta.select(*kept.columns)  # align column order
+            )
+            return self._swap_commit_buckets(
+                stage, merged_touched, touched, merge_keys[0]
+            )
+
+        existing = self.read_stage(stage)
+        kept = existing.join(
+            df.select(*merge_keys).distinct(), merge_keys, "left_anti"
+        )
+        merged = kept.unionByName(df)
+        if bucket_key is not None:
+            # committed stage predates bucketing: this merge migrates it to
+            # the bucketed layout (one full rewrite; scoped thereafter)
+            merged = merged.withColumn(
+                self.BUCKET_COL, self._bucket_expr(bucket_key, n_buckets)
+            )
+            return self._swap_commit(
+                stage, merged, merge_keys[0], partition_bucketed=True
+            )
         return self._swap_commit(stage, merged, merge_keys[0])
 
     def rewrite_stage(self, stage: str, rewrite_fn, key_col: str | None = None) -> DataFrame:
@@ -161,10 +241,18 @@ class CheckpointStore:
         self.recover_upsert(stage, lineage_key=key_col)
         existing = None
         if os.path.exists(os.path.join(self._dir(stage), "_SUCCESS")):
-            existing = self.spark.read.parquet(self._dir(stage))
+            existing = self.spark.read.parquet(self._dir(stage)).drop(
+                self.BUCKET_COL
+            )
         return self._swap_commit(stage, rewrite_fn(existing), key_col)
 
-    def _swap_commit(self, stage: str, merged: DataFrame, lineage_key: str | None) -> DataFrame:
+    def _swap_commit(
+        self,
+        stage: str,
+        merged: DataFrame,
+        lineage_key: str | None,
+        partition_bucketed: bool = False,
+    ) -> DataFrame:
         """Commit ``merged`` as the new contents of ``stage`` via the
         kill-safe swap documented on :meth:`upsert_stage` (tmp write →
         sentinel → marker removal → atomic rename → lineage + marker →
@@ -176,7 +264,10 @@ class CheckpointStore:
         sentinel = path + ".__merge_inprogress"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        merged.write.mode("overwrite").parquet(tmp)
+        w = merged.write.mode("overwrite")
+        if partition_bucketed:
+            w = w.partitionBy(self.BUCKET_COL)
+        w.parquet(tmp)
         with open(sentinel, "w") as f:
             json.dump({"stage": stage, "started_at": time.time()}, f)
         if os.path.exists(marker):
@@ -189,7 +280,92 @@ class CheckpointStore:
         with open(marker, "w") as f:
             json.dump({"stage": stage, "committed_at": time.time()}, f)
         os.remove(sentinel)
-        return out
+        return out.drop(self.BUCKET_COL)
+
+    def _swap_commit_buckets(
+        self,
+        stage: str,
+        merged_touched: DataFrame,
+        touched: list[int],
+        lineage_key: str | None,
+    ) -> DataFrame:
+        """Bucket-scoped variant of :meth:`_swap_commit`: ``merged_touched``
+        holds the full new contents of ONLY the ``touched`` buckets (with the
+        bucket column). Each bucket directory is swapped individually after
+        the whole tmp write completes, so untouched buckets are never read,
+        written, or even stat'd.
+
+        Kill-safety (extends the upsert window analysis): the sentinel is
+        written only after the tmp write's ``_SUCCESS``, and records
+        ``scoped`` + the touched bucket list. Every per-bucket ``os.rename``
+        is atomic; a crash mid-loop leaves each touched bucket either fully
+        old (its dir still in tmp) or fully new (renamed out of tmp) —
+        :meth:`recover_upsert` finishes exactly the renames whose bucket dirs
+        remain in tmp, then recommits. The live dir's root ``_SUCCESS`` (from
+        its original commit) is never touched, so readers of a recovered
+        stage see a complete dataset either way.
+
+        The tmp dir name differs from the full-swap one ON PURPOSE: a scoped
+        tmp holds only the TOUCHED buckets, so the full-swap recovery
+        (rename whole tmp over the live dir) applied to it would silently
+        drop every untouched bucket. Distinct names make the two recovery
+        paths unconfusable even when a crash lands between the tmp write and
+        the sentinel write (where the sentinel's ``scoped`` flag does not
+        exist yet)."""
+        path = self._dir(stage)
+        tmp = path + ".__merge_scoped_tmp"
+        marker = self._marker(stage)
+        sentinel = path + ".__merge_inprogress"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        (
+            merged_touched.write.mode("overwrite")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(tmp)
+        )
+        with open(sentinel, "w") as f:
+            json.dump(
+                {
+                    "stage": stage,
+                    "started_at": time.time(),
+                    "scoped": True,
+                    "buckets": touched,
+                },
+                f,
+            )
+        if os.path.exists(marker):
+            os.remove(marker)
+        self._finish_bucket_swaps(path, tmp)
+        out = self.spark.read.parquet(path)
+        # lineage scoped like the data: recompute rows for the TOUCHED
+        # buckets only (partition pruning keeps the scan off the untouched
+        # ones), carry every other bucket's committed lineage row verbatim
+        self._write_lineage(
+            stage,
+            out.filter(F.col(self.BUCKET_COL).isin(touched)),
+            lineage_key,
+            carry_except=touched,
+        )
+        with open(marker, "w") as f:
+            json.dump({"stage": stage, "committed_at": time.time()}, f)
+        os.remove(sentinel)
+        return out.drop(self.BUCKET_COL)
+
+    def _finish_bucket_swaps(self, path: str, tmp: str) -> None:
+        """Rename every bucket dir remaining inside ``tmp`` into the live
+        stage dir (replacing that bucket's old contents), then drop tmp.
+        Idempotent: a bucket dir's presence in tmp means its swap has not
+        completed; absence means it already swapped."""
+        if not os.path.isdir(tmp):
+            return
+        for name in sorted(os.listdir(tmp)):
+            if not name.startswith(f"{self.BUCKET_COL}="):
+                continue
+            live_b = os.path.join(path, name)
+            if os.path.exists(live_b):
+                shutil.rmtree(live_b)
+            os.rename(os.path.join(tmp, name), live_b)
+        shutil.rmtree(tmp)
 
     def recover_upsert(self, stage: str, lineage_key: str | None = None) -> bool:
         """Finish a previous :meth:`upsert_stage` that died mid-swap; returns
@@ -198,20 +374,48 @@ class CheckpointStore:
         resuming driver before it inspects commit state."""
         path = self._dir(stage)
         tmp = path + ".__merge_tmp"
+        scoped_tmp = path + ".__merge_scoped_tmp"
         marker = self._marker(stage)
         sentinel = path + ".__merge_inprogress"
 
-        def _recommit() -> None:
+        def _recommit(touched: list[int] | None = None) -> None:
             recovered = self.spark.read.parquet(path)
-            self._write_lineage(stage, recovered, lineage_key)
+            if touched:
+                # scoped recovery: recompute lineage for the touched buckets
+                # only (some swapped pre-crash, some just now — their
+                # committed lineage rows are stale either way), carry the rest
+                self._write_lineage(
+                    stage,
+                    recovered.filter(F.col(self.BUCKET_COL).isin(touched)),
+                    lineage_key,
+                    carry_except=touched,
+                )
+            else:
+                self._write_lineage(stage, recovered, lineage_key)
             with open(marker, "w") as f:
                 json.dump({"stage": stage, "committed_at": time.time(),
                            "recovered": True}, f)
 
+        def _sentinel_buckets() -> list[int] | None:
+            try:
+                with open(sentinel) as f:
+                    meta = json.load(f)
+                return meta.get("buckets") if meta.get("scoped") else None
+            except (OSError, ValueError):
+                return None
+
         recovered = False
         if not self.is_committed(stage):
-            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-                # swap never finished: tmp holds the full merge result
+            if os.path.exists(os.path.join(scoped_tmp, "_SUCCESS")):
+                # scoped swap died mid-loop: every bucket dir still inside
+                # the scoped tmp is a complete per-bucket merge result whose
+                # rename had not happened — finish exactly those renames
+                # (untouched live buckets are never read or written)
+                self._finish_bucket_swaps(path, scoped_tmp)
+                _recommit(_sentinel_buckets())
+                recovered = True
+            elif os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                # full swap never finished: tmp holds the full merge result
                 if os.path.exists(path):
                     shutil.rmtree(path)
                 os.rename(tmp, path)
@@ -222,19 +426,47 @@ class CheckpointStore:
             ):
                 # rename completed but marker rewrite did not: the live dir
                 # already holds the merged rows — recommit, don't restart
-                _recommit()
+                # (scoped sentinel → scoped lineage recommit)
+                _recommit(_sentinel_buckets())
                 recovered = True
+        else:
+            # committed stage + leftover tmp: a merge crashed BEFORE its
+            # marker removal, so the live data is the intact pre-merge
+            # state — the tmp is stale (the caller's upsert recomputes it)
+            for d in (tmp, scoped_tmp):
+                if os.path.exists(d):
+                    shutil.rmtree(d)
         if os.path.exists(sentinel):
             os.remove(sentinel)
         return recovered
 
     # -- lineage --------------------------------------------------------------
-    def _write_lineage(self, stage: str, df: DataFrame, key_col: str | None) -> None:
+    def _write_lineage(
+        self,
+        stage: str,
+        df: DataFrame,
+        key_col: str | None,
+        carry_except: list[int] | None = None,
+    ) -> None:
+        """Per-partition lineage rows for ``stage``. For a BUCKETED stage the
+        lineage grain is one row per directory bucket (``partition_id`` =
+        bucket id — stable across writes and the unit a scoped merge
+        replaces); for an unbucketed stage it is the write's Spark partition
+        id, as before. ``carry_except``: scoped-merge mode — ``df`` holds only
+        the touched buckets, whose ids are listed here; every OTHER bucket's
+        committed lineage row is carried over verbatim (tiny read: the
+        lineage table has one row per bucket), so lineage I/O is scoped
+        exactly like the data I/O."""
         key = F.col(key_col).cast("string") if key_col else F.lit(None).cast("string")
         score = F.col("score") if "score" in df.columns else F.lit(None).cast("double")
+        pid = (
+            F.col(self.BUCKET_COL).cast("int")
+            if self.BUCKET_COL in df.columns
+            else F.spark_partition_id()
+        )
         lineage = (
             df.select(
-                F.spark_partition_id().alias("partition_id"),
+                pid.alias("partition_id"),
                 key.alias("k"),
                 score.alias("s"),
             )
@@ -262,6 +494,21 @@ class CheckpointStore:
             .withColumn("snapshot_id", F.lit(int(time.time() * 1000)))
             .withColumn("committed_at", F.current_timestamp())
         )
+        if carry_except is not None:
+            v2 = os.path.join(self.root, "_lineage_v2")
+            if os.path.exists(v2):
+                kept_df = self.spark.read.parquet(v2).filter(
+                    (F.col("stage") == stage)
+                    & ~F.col("partition_id").isin(carry_except)
+                ).select(*lineage.columns)
+                # pin driver-side (≤ one row per bucket): the write below
+                # overwrites the very files this plan reads, and Spark
+                # refuses a lazy read-from-overwrite-target
+                kept_rows = kept_df.collect()
+                if kept_rows:
+                    lineage = lineage.unionByName(
+                        self.spark.createDataFrame(kept_rows, kept_df.schema)
+                    )
         # dynamic partition overwrite keyed by stage: a crash between this
         # write and the marker makes the rerun REPLACE this stage's lineage
         # rows instead of re-appending duplicates — the idempotent-overwrite

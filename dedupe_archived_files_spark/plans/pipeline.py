@@ -403,6 +403,8 @@ def run_pipeline_checkpointed(
                     "pages_text",
                     extract_with_signature(todo, cfg),
                     merge_keys=["url"],
+                    bucket_key="url",
+                    n_buckets=cfg.store_buckets,
                 )
                 fresh_box: dict = {}
                 if edges_scoped_ok:
@@ -457,6 +459,10 @@ def run_pipeline_checkpointed(
         lambda: extract_with_signature(pages, cfg),
         key_col="full_hash",
         require_sig_space=True,
+        # bucketed layout (url-hash directory buckets) so later incremental
+        # MERGEs rewrite only delta-touched buckets, not the whole stage
+        bucket_key="url",
+        n_buckets=cfg.store_buckets,
     )
 
     edges = store.resume_or_compute(

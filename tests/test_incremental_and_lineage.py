@@ -518,3 +518,171 @@ def test_lineage_audit_and_drift(spark, pages_dfs, tmp_path):
     # edges drift is computed (recrawled content may add/remove matches)
     assert drift["edges"]["rows_prev"] == a1["edges"]["row_count"]
     assert drift["edges"]["rows_now"] is not None
+
+
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """Iceberg-file-granularity analogue on plain parquet: a bucketed stage's
+    MERGE rewrites ONLY the directory buckets the delta's keys hash into.
+    Untouched buckets' files are bit-for-bit untouched (same inodes/mtimes),
+    so delta I/O is O(delta x corpus/n_buckets), not a full-stage rewrite."""
+    import os
+
+    from dedupe_archived_files_spark.plans.lineage import CheckpointStore
+
+    root = str(tmp_path / "b")
+    store = CheckpointStore(spark, root)
+    base = spark.createDataFrame(
+        [(f"u{i}", i) for i in range(40)], ["url", "v"]
+    )
+    store.write_stage("tbl", base, key_col="url", bucket_key="url", n_buckets=8)
+    stage_dir = os.path.join(root, "tbl")
+    buckets = sorted(n for n in os.listdir(stage_dir) if n.startswith("__bucket="))
+    assert len(buckets) > 1  # 40 urls spread over 8 buckets
+
+    def snapshot(b):
+        d = os.path.join(stage_dir, b)
+        return {f: os.stat(os.path.join(d, f)).st_mtime_ns for f in os.listdir(d)}
+
+    before = {b: snapshot(b) for b in buckets}
+    delta = spark.createDataFrame([("u3", 300), ("unew", 999)], ["url", "v"])
+    out = store.upsert_stage(
+        "tbl", delta, merge_keys=["url"], bucket_key="url", n_buckets=8
+    )
+    got = {r["url"]: r["v"] for r in out.collect()}
+    expect = {f"u{i}": i for i in range(40)} | {"u3": 300, "unew": 999}
+    assert got == expect
+    assert "__bucket" not in out.columns  # bucket col is storage-internal
+
+    # which buckets SHOULD have changed: where u3 / unew hash
+    touched = {
+        f"__bucket={r[0]}"
+        for r in spark.createDataFrame([("u3",), ("unew",)], ["url"])
+        .select(CheckpointStore._bucket_expr("url", 8))
+        .collect()
+    }
+    after = {b: snapshot(b) for b in sorted(
+        n for n in os.listdir(stage_dir) if n.startswith("__bucket="))}
+    for b in buckets:
+        if b not in touched:
+            assert after[b] == before[b], f"untouched bucket {b} was rewritten"
+    for b in touched:
+        assert after[b] != before.get(b), f"touched bucket {b} was not rewritten"
+    assert store.is_committed("tbl")
+
+
+def test_bucketed_upsert_mid_swap_crash_recovery(spark, tmp_path):
+    """A kill in the middle of the per-bucket rename loop leaves some touched
+    buckets new and some still old (their merge results sitting in the scoped
+    tmp). recover_upsert must finish exactly the remaining renames — never
+    apply the full-swap recovery, which would drop every untouched bucket."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from dedupe_archived_files_spark.plans.lineage import CheckpointStore
+
+    root = str(tmp_path / "bc")
+    store = CheckpointStore(spark, root)
+    base = spark.createDataFrame([(f"u{i}", i) for i in range(40)], ["url", "v"])
+    store.write_stage("tbl", base, key_col="url", bucket_key="url", n_buckets=8)
+    stage_dir = os.path.join(root, "tbl")
+
+    # the delta and its merge result, exactly as _swap_commit_buckets builds it
+    delta = spark.createDataFrame([("u3", 300), ("unew", 999)], ["url", "v"])
+    d = delta.withColumn("__bucket", CheckpointStore._bucket_expr("url", 8))
+    touched = sorted(r[0] for r in d.select("__bucket").distinct().collect())
+    live = spark.read.parquet(stage_dir).filter(SF.col("__bucket").isin(touched))
+    merged_touched = live.join(
+        delta.select("url").distinct(), ["url"], "left_anti"
+    ).unionByName(d.select(*live.columns))
+    scoped_tmp = stage_dir + ".__merge_scoped_tmp"
+    merged_touched.write.mode("overwrite").partitionBy("__bucket").parquet(scoped_tmp)
+
+    # crash simulation: sentinel written, marker removed, FIRST touched
+    # bucket already renamed into place, second still in tmp
+    with open(stage_dir + ".__merge_inprogress", "w") as f:
+        json.dump({"stage": "tbl", "scoped": True, "buckets": touched}, f)
+    os.remove(os.path.join(root, "tbl._COMMITTED"))
+    first = f"__bucket={touched[0]}"
+    shutil.rmtree(os.path.join(stage_dir, first))
+    os.rename(os.path.join(scoped_tmp, first), os.path.join(stage_dir, first))
+
+    assert store.recover_upsert("tbl", lineage_key="url")
+    assert store.is_committed("tbl")
+    got = {r["url"]: r["v"] for r in store.read_stage("tbl").collect()}
+    assert got == {f"u{i}": i for i in range(40)} | {"u3": 300, "unew": 999}
+    assert not os.path.exists(scoped_tmp)
+    assert not os.path.exists(stage_dir + ".__merge_inprogress")
+
+
+def test_unbucketed_stage_migrates_to_bucketed_on_upsert(spark, tmp_path):
+    """A committed pre-bucketing checkpoint upserted with a bucket_key is
+    migrated (one full rewrite) to the bucketed layout; the NEXT upsert is
+    then scoped. Contents are identical throughout."""
+    import os
+
+    from dedupe_archived_files_spark.plans.lineage import CheckpointStore
+
+    root = str(tmp_path / "mig")
+    store = CheckpointStore(spark, root)
+    base = spark.createDataFrame([(f"u{i}", i) for i in range(10)], ["url", "v"])
+    store.write_stage("tbl", base, key_col="url")  # unbucketed
+    assert not store._is_bucketed("tbl")
+    d1 = spark.createDataFrame([("u1", 100)], ["url", "v"])
+    out = store.upsert_stage("tbl", d1, merge_keys=["url"], bucket_key="url", n_buckets=4)
+    assert store._is_bucketed("tbl")
+    assert {r["url"]: r["v"] for r in out.collect()} == (
+        {f"u{i}": i for i in range(10)} | {"u1": 100}
+    )
+    d2 = spark.createDataFrame([("u2", 200)], ["url", "v"])
+    out2 = store.upsert_stage("tbl", d2, merge_keys=["url"], bucket_key="url", n_buckets=4)
+    assert {r["url"]: r["v"] for r in out2.collect()} == (
+        {f"u{i}": i for i in range(10)} | {"u1": 100, "u2": 200}
+    )
+
+
+def test_scoped_upsert_scopes_lineage_too(spark, tmp_path):
+    """Lineage I/O mirrors data I/O on a scoped merge: untouched buckets'
+    lineage rows are carried over VERBATIM (same snapshot_id — never
+    recomputed from their data files), touched buckets get fresh rows, and
+    the audit totals stay exact."""
+    from dedupe_archived_files_spark.plans.lineage import CheckpointStore
+
+    root = str(tmp_path / "ls")
+    store = CheckpointStore(spark, root)
+    base = spark.createDataFrame([(f"u{i}", i) for i in range(40)], ["url", "v"])
+    store.write_stage("tbl", base, key_col="url", bucket_key="url", n_buckets=8)
+    ln0 = {
+        r["partition_id"]: r
+        for r in store.lineage().filter("stage = 'tbl'").collect()
+    }
+    assert sum(r["row_count"] for r in ln0.values()) == 40
+
+    delta = spark.createDataFrame([("u3", 300), ("unew", 999)], ["url", "v"])
+    store.upsert_stage("tbl", delta, merge_keys=["url"], bucket_key="url", n_buckets=8)
+    touched = {
+        r[0]
+        for r in spark.createDataFrame([("u3",), ("unew",)], ["url"])
+        .select(CheckpointStore._bucket_expr("url", 8))
+        .collect()
+    }
+    ln1 = {
+        r["partition_id"]: r
+        for r in store.lineage().filter("stage = 'tbl'").collect()
+    }
+    # one lineage row per bucket, totals exact (40 urls + 1 new)
+    assert set(ln1) == set(ln0) | touched
+    assert sum(r["row_count"] for r in ln1.values()) == 41
+    for pid, row in ln1.items():
+        if pid in touched:
+            assert row["snapshot_id"] > ln0[pid]["snapshot_id"] if pid in ln0 else True
+        else:
+            # carried verbatim: same snapshot, same counts
+            assert row["snapshot_id"] == ln0[pid]["snapshot_id"]
+            assert row["row_count"] == ln0[pid]["row_count"]
+    # audit() over the mixed (fresh + carried) rows still reconciles
+    a = {r["stage"]: r for r in store.audit().collect()}
+    assert a["tbl"]["row_count"] == 41
+    assert a["tbl"]["n_partitions"] == len(ln1)
