@@ -225,7 +225,104 @@ class CheckpointStore:
             )
         return self._swap_commit(stage, merged, merge_keys[0])
 
-    def rewrite_stage(self, stage: str, rewrite_fn, key_col: str | None = None) -> DataFrame:
+    def replace_scoped(
+        self,
+        stage: str,
+        fresh: DataFrame,
+        doomed_fn,
+        row_keys: list[str],
+        bucket_key: str,
+        n_buckets: int,
+        lineage_key: str | None = None,
+    ) -> DataFrame:
+        """Delete+insert MERGE with bucket-scoped I/O — the general form
+        :meth:`upsert_stage` is the keyed special case of. Semantics::
+
+            DELETE FROM stage WHERE <row is in doomed_fn(stage)>;
+            INSERT INTO stage SELECT * FROM fresh;
+
+        ``doomed_fn(live_df)`` returns the subset of live rows to delete
+        (identified by ``row_keys``); ``fresh`` holds the rows to insert.
+        Unlike the keyed upsert, the doomed set is NOT derivable from the
+        delta's keys alone (e.g. deleting every edge that TOUCHES a changed
+        url — the match can be on either endpoint, while the bucket key is
+        only ``url_a``), so touched-bucket discovery costs one column-pruned
+        scan of the live stage (``row_keys`` + the bucket partition column;
+        never the fat payload columns) — exactly Iceberg MERGE's
+        find-matching-files pass. The WRITE then rewrites only
+        buckets(doomed) ∪ buckets(fresh); untouched buckets keep their files
+        and lineage rows verbatim.
+
+        Rows present in both the kept set and ``fresh`` under the same
+        ``row_keys`` are deduplicated (a scoped recompute may regenerate an
+        unchanged row it was not required to delete); both copies are
+        content-identical by construction, so the survivor is arbitrary.
+
+        Requires a complete (``_SUCCESS``), bucketed data dir — like
+        :meth:`rewrite_stage`, the commit MARKER may have been invalidated by
+        the caller's stale-downstream guard (markers are re-written by this
+        merge's own commit). Callers fall back to a full
+        :meth:`rewrite_stage` (which can migrate the layout) otherwise."""
+        self.recover_upsert(stage, lineage_key=lineage_key)
+        if not (
+            os.path.exists(os.path.join(self._dir(stage), "_SUCCESS"))
+            and self._is_bucketed(stage)
+        ):
+            raise ValueError(
+                f"replace_scoped requires a complete bucketed stage dir; "
+                f"'{stage}' is not — use rewrite_stage(bucket_key=...) to "
+                f"migrate first"
+            )
+        live = self.spark.read.parquet(self._dir(stage))
+        doomed_keys = doomed_fn(live).select(
+            self.BUCKET_COL, *row_keys
+        ).distinct()
+        fresh_b = fresh.withColumn(
+            self.BUCKET_COL, self._bucket_expr(bucket_key, n_buckets)
+        )
+        # pin the touched-bucket ids BEFORE any write (the plans read the
+        # live files the swap replaces); both sides are small: ≤ n_buckets
+        touched = sorted(
+            {
+                r[0]
+                for r in doomed_keys.select(self.BUCKET_COL)
+                .distinct()
+                .collect()
+            }
+            | {
+                r[0]
+                for r in fresh_b.select(self.BUCKET_COL)
+                .distinct()
+                .collect()
+            }
+        )
+        if not touched:
+            # zero buckets hold doomed or fresh rows: contents are already
+            # correct, but the caller's stale-downstream guard invalidated
+            # the marker — re-commit it in place (data + lineage unchanged)
+            out = self.spark.read.parquet(self._dir(stage))
+            with open(self._marker(stage), "w") as f:
+                json.dump({"stage": stage, "committed_at": time.time()}, f)
+            return out.drop(self.BUCKET_COL)
+        live_t = live.filter(F.col(self.BUCKET_COL).isin(touched))
+        kept_t = live_t.join(
+            doomed_keys.select(*row_keys).distinct(), row_keys, "left_anti"
+        )
+        merged_touched = kept_t.unionByName(
+            fresh_b.select(*kept_t.columns)
+        ).dropDuplicates(row_keys)
+        return self._swap_commit_buckets(
+            stage, merged_touched, touched, lineage_key
+        )
+
+    def rewrite_stage(
+        self,
+        stage: str,
+        rewrite_fn,
+        key_col: str | None = None,
+        bucket_key: str | None = None,
+        n_buckets: int = 64,
+    ) -> DataFrame:
         """Read-modify-write commit: ``rewrite_fn(existing_df_or_None)``
         returns the stage's FULL new contents, derived from (and lazily
         reading) its current parquet files. The result goes through the same
@@ -237,14 +334,26 @@ class CheckpointStore:
         ``existing`` is passed even when the stage's marker was invalidated
         by the caller (the incremental pipeline uncommits downstream stages
         BEFORE touching upstream ones) — the only requirement is a complete
-        data dir (``_SUCCESS``); partial writes surface as ``None``."""
+        data dir (``_SUCCESS``); partial writes surface as ``None``.
+
+        ``bucket_key``: write the result in the bucketed layout — the
+        migration path for a pre-bucketing stage so subsequent merges can use
+        :meth:`replace_scoped` / scoped :meth:`upsert_stage`."""
         self.recover_upsert(stage, lineage_key=key_col)
         existing = None
         if os.path.exists(os.path.join(self._dir(stage), "_SUCCESS")):
             existing = self.spark.read.parquet(self._dir(stage)).drop(
                 self.BUCKET_COL
             )
-        return self._swap_commit(stage, rewrite_fn(existing), key_col)
+        merged = rewrite_fn(existing)
+        if bucket_key is not None:
+            merged = merged.withColumn(
+                self.BUCKET_COL, self._bucket_expr(bucket_key, n_buckets)
+            )
+            return self._swap_commit(
+                stage, merged, key_col, partition_bucketed=True
+            )
+        return self._swap_commit(stage, merged, key_col)
 
     def _swap_commit(
         self,
@@ -323,6 +432,16 @@ class CheckpointStore:
             .partitionBy(self.BUCKET_COL)
             .parquet(tmp)
         )
+        # a touched bucket with no dir in the just-written tmp was merged to
+        # EMPTY (delete-heavy merge) — record that set NOW, while tmp is
+        # complete and untouched: later (and on crash recovery) absence from
+        # tmp is ambiguous between "merged empty" and "already renamed out"
+        in_tmp = {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(tmp)
+            if name.startswith(f"{self.BUCKET_COL}=")
+        }
+        emptied = [b for b in touched if b not in in_tmp]
         with open(sentinel, "w") as f:
             json.dump(
                 {
@@ -330,12 +449,13 @@ class CheckpointStore:
                     "started_at": time.time(),
                     "scoped": True,
                     "buckets": touched,
+                    "empty_buckets": emptied,
                 },
                 f,
             )
         if os.path.exists(marker):
             os.remove(marker)
-        self._finish_bucket_swaps(path, tmp)
+        self._finish_bucket_swaps(path, tmp, emptied)
         out = self.spark.read.parquet(path)
         # lineage scoped like the data: recompute rows for the TOUCHED
         # buckets only (partition pruning keeps the scan off the untouched
@@ -351,16 +471,34 @@ class CheckpointStore:
         os.remove(sentinel)
         return out.drop(self.BUCKET_COL)
 
-    def _finish_bucket_swaps(self, path: str, tmp: str) -> None:
+    def _finish_bucket_swaps(
+        self, path: str, tmp: str, empty: list[int] | None = None
+    ) -> None:
         """Rename every bucket dir remaining inside ``tmp`` into the live
         stage dir (replacing that bucket's old contents), then drop tmp.
         Idempotent: a bucket dir's presence in tmp means its swap has not
-        completed; absence means it already swapped."""
+        completed; absence means it already swapped.
+
+        ``empty``: bucket ids whose merge result is EMPTY (delete-heavy
+        :meth:`replace_scoped`) — recorded by the writer at sentinel time,
+        because after renames begin, absence-from-tmp is ambiguous between
+        "merged empty" and "already swapped". Their live dirs are removed,
+        or their doomed rows would silently survive. Deletions run BEFORE
+        the renames and are existence-guarded, so a crash anywhere re-enters
+        this loop with tmp still present and both steps replay
+        idempotently."""
         if not os.path.isdir(tmp):
             return
-        for name in sorted(os.listdir(tmp)):
-            if not name.startswith(f"{self.BUCKET_COL}="):
-                continue
+        present = {
+            name
+            for name in os.listdir(tmp)
+            if name.startswith(f"{self.BUCKET_COL}=")
+        }
+        for b in empty or []:
+            live_b = os.path.join(path, f"{self.BUCKET_COL}={b}")
+            if os.path.exists(live_b):
+                shutil.rmtree(live_b)
+        for name in sorted(present):
             live_b = os.path.join(path, name)
             if os.path.exists(live_b):
                 shutil.rmtree(live_b)
@@ -396,13 +534,16 @@ class CheckpointStore:
                 json.dump({"stage": stage, "committed_at": time.time(),
                            "recovered": True}, f)
 
-        def _sentinel_buckets() -> list[int] | None:
+        def _sentinel_meta() -> dict:
             try:
                 with open(sentinel) as f:
                     meta = json.load(f)
-                return meta.get("buckets") if meta.get("scoped") else None
+                return meta if meta.get("scoped") else {}
             except (OSError, ValueError):
-                return None
+                return {}
+
+        def _sentinel_buckets() -> list[int] | None:
+            return _sentinel_meta().get("buckets")
 
         recovered = False
         if not self.is_committed(stage):
@@ -411,7 +552,9 @@ class CheckpointStore:
                 # the scoped tmp is a complete per-bucket merge result whose
                 # rename had not happened — finish exactly those renames
                 # (untouched live buckets are never read or written)
-                self._finish_bucket_swaps(path, scoped_tmp)
+                self._finish_bucket_swaps(
+                    path, scoped_tmp, _sentinel_meta().get("empty_buckets")
+                )
                 _recommit(_sentinel_buckets())
                 recovered = True
             elif os.path.exists(os.path.join(tmp, "_SUCCESS")):

@@ -193,6 +193,28 @@ def scoped_incremental_edges(
         .join(cu.select(F.col("url").alias("url_a")), "url_a", "left_anti")
         .join(cu.select(F.col("url").alias("url_b")), "url_b", "left_anti")
     )
+    fresh = scoped_fresh_edges(
+        sig, changed_urls, old_hashes, cfg, old_keys=old_keys, out=out
+    )
+    return kept.unionByName(fresh).dropDuplicates(["url_a", "url_b"])
+
+
+def scoped_fresh_edges(
+    sig: DataFrame,
+    changed_urls: DataFrame,
+    old_hashes: DataFrame,
+    cfg: PipelineConfig,
+    old_keys: DataFrame | None = None,
+    out: dict | None = None,
+) -> DataFrame:
+    """The INSERT half of the edge-stage MERGE (see
+    :func:`scoped_incremental_edges` for the full delete/insert contract):
+    fresh edges from blocks the delta touched plus rebuilt star edges for
+    hash groups containing a changed url — O(members of changed blocks).
+    Used standalone by the bucket-scoped store merge
+    (``CheckpointStore.replace_scoped``), where the DELETE half is expressed
+    as a doomed-row predicate instead of a kept-rows anti-join."""
+    cu = changed_urls.select("url").distinct()
     cand = candidate_pairs(sig, cfg, restrict_urls=cu, restrict_keys=old_keys)
     near = verified_edges(pair_features(sig, cand), cfg).select(
         "url_a", "url_b", "score", "channel"
@@ -214,7 +236,7 @@ def scoped_incremental_edges(
             .unionByName(fresh.select(F.col("url_b").alias("url")))
             .distinct()
         )
-    return kept.unionByName(fresh).dropDuplicates(["url_a", "url_b"])
+    return fresh
 
 
 def scoped_incremental_clusters(
@@ -252,6 +274,32 @@ def scoped_incremental_clusters(
     Degenerate case (delta touches most of the corpus): ``target``
     approaches the corpus and this converges to the full recompute it
     replaces — never worse asymptotically."""
+    aff_ids, fresh = scoped_cluster_parts(
+        old_clusters, edges, changed_urls, fresh_urls, cfg, stats=stats
+    )
+    # the anti-join key moves cluster_id to column 0 — restore the CLUSTERS
+    # column order so the merged stage is layout-identical to a from-scratch
+    # write (the driver hash compares positionally)
+    keep = old_clusters.join(F.broadcast(aff_ids), "cluster_id", "left_anti")
+    return keep.unionByName(fresh).select(
+        "url", "cluster_id", "canonical_url"
+    )
+
+
+def scoped_cluster_parts(
+    old_clusters: DataFrame,
+    edges: DataFrame,
+    changed_urls: DataFrame,
+    fresh_urls: DataFrame,
+    cfg: PipelineConfig,
+    stats: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The (DELETE-key, INSERT) halves of the clusters-stage MERGE (contract
+    on :func:`scoped_incremental_clusters`): returns ``(aff_ids, fresh)``
+    where ``aff_ids`` is the affected component ids (eagerly pinned,
+    O(affected components)) whose member rows are stale, and ``fresh`` is the
+    recomputed labels for the affected subgraph. Used standalone by the
+    bucket-scoped store merge (``CheckpointStore.replace_scoped``)."""
     touch = changed_urls.select("url").unionByName(fresh_urls.select("url")).distinct()
     aff_ids = (
         old_clusters.join(touch, "url", "left_semi")
@@ -274,13 +322,7 @@ def scoped_incremental_clusters(
         stats["sub_edges"] = sub_edges.count()
         stats["affected_components"] = aff_ids.count()
     sub_labels = connected_components(sub_edges.select("url_a", "url_b"), cfg)
-    # the anti-join key moves cluster_id to column 0 — restore the CLUSTERS
-    # column order so the merged stage is layout-identical to a from-scratch
-    # write (the driver hash compares positionally)
-    keep = old_clusters.join(F.broadcast(aff_ids), "cluster_id", "left_anti")
-    return keep.unionByName(resolve_clusters(sub_labels)).select(
-        "url", "cluster_id", "canonical_url"
-    )
+    return aff_ids, resolve_clusters(sub_labels)
 
 
 def run_pipeline_checkpointed(
@@ -407,10 +449,61 @@ def run_pipeline_checkpointed(
                     n_buckets=cfg.store_buckets,
                 )
                 fresh_box: dict = {}
-                if edges_scoped_ok:
-                    # scoped recompute + edge-stage MERGE: blocking/scoring
-                    # run only over blocks touching a changed url; committed
-                    # edges between unchanged urls are carried over verbatim
+                cu = changed_urls  # pinned above
+
+                def _edges_doomed(live: DataFrame) -> DataFrame:
+                    # DELETE: every committed edge touching a changed url —
+                    # the match can be on EITHER endpoint (overlap between
+                    # the two semi-joins is fine: replace_scoped dedups keys)
+                    return live.join(
+                        F.broadcast(cu.select(F.col("url").alias("url_a"))),
+                        "url_a",
+                        "left_semi",
+                    ).unionByName(
+                        live.join(
+                            F.broadcast(
+                                cu.select(F.col("url").alias("url_b"))
+                            ),
+                            "url_b",
+                            "left_semi",
+                        ).select(*live.columns)
+                    )
+
+                if edges_scoped_ok and store._is_bucketed("edges"):
+                    # scoped recompute + bucket-scoped edge MERGE: blocking/
+                    # scoring run only over blocks touching a changed url
+                    # (compute scoped), and the store rewrites only the
+                    # url_a-hash buckets holding doomed or fresh edges (I/O
+                    # scoped) — committed edges between unchanged urls keep
+                    # their parquet files and lineage rows verbatim. Eager
+                    # pin: fresh is O(changed blocks) and is consumed three
+                    # times (bucket discovery, the merge write, fresh_urls).
+                    fresh_e = scoped_fresh_edges(
+                        pages_text, changed_urls, old_hashes, cfg,
+                        old_keys=old_keys,
+                    ).dropDuplicates(["url_a", "url_b"]).localCheckpoint(
+                        eager=True
+                    )
+                    fresh_box["fresh_urls"] = (
+                        fresh_e.select(F.col("url_a").alias("url"))
+                        .unionByName(
+                            fresh_e.select(F.col("url_b").alias("url"))
+                        )
+                        .distinct()
+                    )
+                    edges = store.replace_scoped(
+                        "edges",
+                        fresh_e,
+                        doomed_fn=_edges_doomed,
+                        row_keys=["url_a", "url_b"],
+                        bucket_key="url_a",
+                        n_buckets=cfg.store_buckets,
+                        lineage_key="url_a",
+                    )
+                elif edges_scoped_ok:
+                    # committed pre-bucketing edge stage: compute is scoped,
+                    # this one write migrates the layout (full rewrite);
+                    # scoped I/O from the next run on
                     edges = store.rewrite_stage(
                         "edges",
                         lambda old: scoped_incremental_edges(
@@ -420,10 +513,16 @@ def run_pipeline_checkpointed(
                         if old is not None
                         else _edges_from(pages_text),
                         key_col="url_a",
+                        bucket_key="url_a",
+                        n_buckets=cfg.store_buckets,
                     )
                 else:
                     edges = store.write_stage(
-                        "edges", _edges_from(pages_text), key_col="url_a"
+                        "edges",
+                        _edges_from(pages_text),
+                        key_col="url_a",
+                        bucket_key="url_a",
+                        n_buckets=cfg.store_buckets,
                     )
                 if clusters_scoped_ok and "fresh_urls" in fresh_box:
                     # clusters-stage MERGE: CC re-runs only over components
@@ -434,6 +533,37 @@ def run_pipeline_checkpointed(
                     fresh_urls = fresh_box["fresh_urls"].localCheckpoint(
                         eager=True
                     )
+                    if store._is_bucketed("clusters"):
+                        # bucket-scoped clusters MERGE: only the url-hash
+                        # buckets holding relabeled or doomed rows rewrite.
+                        # Direct dir read (not read_stage): the marker was
+                        # invalidated above by the stale-downstream guard;
+                        # clusters_scoped_ok pinned its pre-guard validity
+                        old_clusters = pages.sparkSession.read.parquet(
+                            store._dir("clusters")
+                        ).drop(CheckpointStore.BUCKET_COL)
+                        aff_ids, fresh_labels = scoped_cluster_parts(
+                            old_clusters, edges, changed_urls, fresh_urls,
+                            cfg,
+                        )
+                        # eager pin: O(affected members) rows, consumed twice
+                        # (bucket discovery + the merge write) and its plan
+                        # runs the scoped CC — don't run it twice
+                        fresh_labels = fresh_labels.select(
+                            "url", "cluster_id", "canonical_url"
+                        ).localCheckpoint(eager=True)
+                        return store.replace_scoped(
+                            "clusters",
+                            fresh_labels,
+                            doomed_fn=lambda live: live.join(
+                                F.broadcast(aff_ids), "cluster_id",
+                                "left_semi",
+                            ),
+                            row_keys=["url"],
+                            bucket_key="url",
+                            n_buckets=cfg.store_buckets,
+                            lineage_key="cluster_id",
+                        )
                     return store.rewrite_stage(
                         "clusters",
                         lambda oldc: scoped_incremental_clusters(
@@ -442,9 +572,15 @@ def run_pipeline_checkpointed(
                         if oldc is not None
                         else _clusters_from(edges),
                         key_col="cluster_id",
+                        bucket_key="url",
+                        n_buckets=cfg.store_buckets,
                     )
                 return store.write_stage(
-                    "clusters", _clusters_from(edges), key_col="cluster_id"
+                    "clusters",
+                    _clusters_from(edges),
+                    key_col="cluster_id",
+                    bucket_key="url",
+                    n_buckets=cfg.store_buckets,
                 )
 
     # the committed stage IS the fused extract+signature output (parquet with
@@ -466,12 +602,20 @@ def run_pipeline_checkpointed(
     )
 
     edges = store.resume_or_compute(
-        "edges", lambda: _edges_from(pages_text), key_col="url_a"
+        "edges",
+        lambda: _edges_from(pages_text),
+        key_col="url_a",
+        # url_a-hash buckets: incremental edge MERGEs rewrite only buckets
+        # holding doomed/fresh edges (CheckpointStore.replace_scoped)
+        bucket_key="url_a",
+        n_buckets=cfg.store_buckets,
     )
     clusters = store.resume_or_compute(
         "clusters",
         lambda: _clusters_from(edges),
         key_col="cluster_id",
+        bucket_key="url",
+        n_buckets=cfg.store_buckets,
     )
     return clusters
 

@@ -249,11 +249,27 @@ def recrawl_snapshot(seed: int = 42) -> list:
     reprocessed; unchanged (url, warc_ts) rows are skipped on resume."""
     rng = np.random.RandomState(seed + 1)
     rows = []
-    for i in range(10):
+    for i in range(7):
         ts = (EPOCH + np.timedelta64(86400 + i, "s")).astype("datetime64[us]").item()
         rows.append(
             (f"https://site{i % 37}.example.com/base/{i}", ts,
              _html(f"recrawled {i}", _body(rng, 90)), None, "en")
+        )
+    # edge-DOOMING change: this url's committed exact edge (to
+    # deep.example.com, labeled in generate_corpus) must be deleted by the
+    # incremental edge MERGE once its content diverges
+    ts7 = (EPOCH + np.timedelta64(86400 + 7, "s")).astype("datetime64[us]").item()
+    rows.append(
+        ("https://shallow.example.com/flat", ts7,
+         _html("recrawled flat", _body(rng, 90)), None, "en")
+    )
+    # edge-CREATING change: two re-crawled urls converge on identical html →
+    # a fresh exact-dup edge between two changed urls must be inserted
+    twin = _html("recrawled twin", _body(rng, 90))
+    for i in (8, 9):
+        ts = (EPOCH + np.timedelta64(86400 + i, "s")).astype("datetime64[us]").item()
+        rows.append(
+            (f"https://site{i % 37}.example.com/base/{i}", ts, twin, None, "en")
         )
     return rows
 
