@@ -64,11 +64,6 @@ def main() -> None:
     n = pages.count()
     cfg = PipelineConfig()
 
-    root = tempfile.mkdtemp(prefix="incbench_ckpt_")
-    t0 = time.time()
-    run_pipeline_checkpointed(pages, root, cfg).count()
-    full_secs = time.time() - t0
-
     # 1-row delta: the lexicographically-first url re-crawled with changed
     # text at a newer warc_ts
     first = pages.orderBy("url").limit(1)
@@ -82,9 +77,28 @@ def main() -> None:
         "warc_ts", (F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
     ).withColumn("html", F.lit(new_html))
     snapshot2 = pages.unionByName(delta.select(*pages.columns))
-    t0 = time.time()
-    run_pipeline_checkpointed(snapshot2, root, cfg).count()
-    delta_secs = time.time() - t0
+
+    # This sandbox's wall-clocks swing 2-3x between identical runs (shared
+    # host; VERDICT r4 "what's wrong #1"), so a single sample per phase is
+    # not a number — run `repeats` full+delta pairs (fresh checkpoint root
+    # each), report best-of per phase, and record the spread so an unstable
+    # measurement can never silently read as a trend (same contract as
+    # bench.py's unstable_queries flag).
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    full_times, delta_times = [], []
+    for _ in range(repeats):
+        root = tempfile.mkdtemp(prefix="incbench_ckpt_")
+        t0 = time.time()
+        run_pipeline_checkpointed(pages, root, cfg).count()
+        full_times.append(time.time() - t0)
+        t0 = time.time()
+        run_pipeline_checkpointed(snapshot2, root, cfg).count()
+        delta_times.append(time.time() - t0)
+        shutil.rmtree(root, ignore_errors=True)
+    full_secs, delta_secs = min(full_times), min(delta_times)
+
+    def _spread(ts: list) -> float:
+        return round((max(ts) - min(ts)) / min(ts), 3)
 
     result = {
         "n_pages": n,
@@ -92,6 +106,9 @@ def main() -> None:
         "full_secs": round(full_secs, 3),
         "delta_secs": round(delta_secs, 3),
         "delta_speedup": round(full_secs / delta_secs, 2),
+        "repeats": repeats,
+        "full_spread": _spread(full_times),
+        "delta_spread": _spread(delta_times),
     }
     print(json.dumps(result))
     # persist for BENCH.md regeneration (scripts/scaling_bench.py embeds the

@@ -218,8 +218,13 @@ def _incremental_section() -> str:
         return ""
     with open(path) as f:
         runs = json.load(f)["runs"]
+    def _cell(r, k):
+        # best-of-N with run-to-run spread when the bench recorded repeats
+        s = r.get(f"{k.split('_')[0]}_spread")
+        return f"{r[k]}" + (f" (spread {s:+.0%})".replace("+", "±") if s is not None else "")
+
     rows = "\n".join(
-        f"| {r['n_pages']} | {r['full_secs']} | {r['delta_secs']} | {r['delta_speedup']}× |"
+        f"| {r['n_pages']} | {_cell(r, 'full_secs')} | {_cell(r, 'delta_secs')} | {r['delta_speedup']}× |"
         for r in runs
     )
     trend = ""
@@ -229,17 +234,46 @@ def _incremental_section() -> str:
         full_slope = (b["full_secs"] - a["full_secs"]) / dn * 1e6
         delta_slope = (b["delta_secs"] - a["delta_secs"]) / dn * 1e6
         ratio = full_slope / max(delta_slope, 1e-9)
-        trend = f"""
-The delta run is nearly flat in corpus size ({delta_slope:.0f} µs/page —
-the full-stage parquet rewrite this store pays in place of a real Iceberg
-file-level MERGE, plus ~{a['delta_secs']:.0f}s fixed commit/scheduling
-latency) while the from-scratch run grows at {full_slope:.0f} µs/page
-(featurize + blocking + scoring + CC), so the speedup grows with corpus size
-toward the slope ratio ~{ratio:.0f}× in this store. The COMPUTE paid by the
-delta run is O(changed blocks) by construction — proven by the pair-volume
-and sentinel carry-over tests (tests/test_incremental_and_lineage.py), not
-by these wall-clocks — and on an Iceberg-backed store the remaining
-O(corpus) rewrite I/O drops to O(changed files)."""
+        noisy = any(
+            max(r.get("full_spread", 0), r.get("delta_spread", 0)) > 0.25
+            for r in runs
+        )
+        if noisy:
+            # Don't fit a trend through numbers the bench itself flags as
+            # unstable (same contract as bench.py's unstable_queries): say
+            # so, and point at the evidence that doesn't depend on
+            # wall-clocks.
+            trend = """
+The spread flags mark these wall-clocks UNSTABLE (identical back-to-back
+runs on this shared-host sandbox differ by the flagged factor), so no slope
+or trend is fitted through them; the table is reported for transparency
+only. The scale-economics claims rest on evidence that does not depend on
+wall-clock: the delta run's COMPUTE is O(changed blocks) by construction
+(pair-volume and sentinel carry-over tests,
+tests/test_incremental_and_lineage.py) and its WRITE volume is
+bucket-scoped at every stage — `CheckpointStore.replace_scoped` rewrites
+only the url-hash bucket dirs holding doomed or fresh rows (Iceberg MERGE's
+file-level economics on plain parquet), proven bit-for-bit by
+test_delta_run_rewrites_only_touched_buckets_all_stages. The residual
+delta-run scan cost is the column-pruned discovery passes (block keys of
+the committed signatures, edge-endpoint semi-joins, touched-component
+lookup): O(corpus) rows read, no pair explosion, no fat payload columns."""
+        else:
+            trend = f"""
+The delta run is nearly flat in corpus size ({delta_slope:.0f} µs/page slope
+plus ~{a['delta_secs']:.0f}s fixed commit/scheduling latency) while the
+from-scratch run grows at {full_slope:.0f} µs/page (featurize + blocking +
+scoring + CC), so the speedup grows with corpus size toward the slope ratio
+~{ratio:.0f}× in this store. The delta's WRITE volume is bucket-scoped at
+every stage (`CheckpointStore.replace_scoped`: only the url-hash bucket dirs
+holding doomed or fresh rows rewrite — Iceberg MERGE's file-level economics
+on plain parquet, proven bit-for-bit by
+tests/test_incremental_and_lineage.py::test_delta_run_rewrites_only_touched_buckets_all_stages);
+the residual slope is the column-pruned discovery scans (block keys of the
+committed signatures, edge-endpoint semi-joins, touched-component lookup) —
+O(corpus) rows read but no pair explosion and no fat payload columns. The
+COMPUTE paid by the delta run is O(changed blocks) by construction — proven
+by the pair-volume and sentinel carry-over tests, not by these wall-clocks."""
     return f"""
 ## Incremental economics (1-row re-crawl vs from-scratch, local[{runs[-1]['cores']}])
 

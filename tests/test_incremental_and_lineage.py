@@ -747,3 +747,157 @@ def test_delta_run_rewrites_only_touched_buckets_all_stages(
             len(untouched),
             len(before[s]),
         )
+
+
+def test_replace_scoped_delete_insert_and_emptied_bucket(spark, tmp_path):
+    """replace_scoped is the delete+insert MERGE the edge/cluster stages use:
+    doomed rows (an arbitrary predicate over the live stage, NOT derivable
+    from the delta's keys) are deleted, fresh rows inserted, and ONLY the
+    bucket dirs holding doomed or fresh rows rewrite. A bucket whose every
+    row is doomed with no fresh replacement must have its dir REMOVED (not
+    survive with stale rows), and untouched buckets stay bit-for-bit."""
+    import os
+
+    from dedupe_archived_files_spark.plans.lineage import CheckpointStore
+
+    root = str(tmp_path / "rs")
+    store = CheckpointStore(spark, root)
+    base = spark.createDataFrame([(f"u{i}", i) for i in range(40)], ["url", "v"])
+    store.write_stage("tbl", base, key_col="url", bucket_key="url", n_buckets=8)
+    stage_dir = os.path.join(root, "tbl")
+
+    by_bucket: dict = {}
+    for r in (
+        spark.createDataFrame([(f"u{i}",) for i in range(40)], ["url"])
+        .select("url", CheckpointStore._bucket_expr("url", 8).alias("b"))
+        .collect()
+    ):
+        by_bucket.setdefault(r["b"], []).append(r["url"])
+    victim_b, victim_urls = sorted(by_bucket.items())[0]
+
+    def bucket_of(u: str) -> int:
+        return (
+            spark.createDataFrame([(u,)], ["url"])
+            .select(CheckpointStore._bucket_expr("url", 8))
+            .first()[0]
+        )
+
+    fresh_url = next(
+        u for u in ("unew1", "unew2", "unew3") if bucket_of(u) != victim_b
+    )
+    fresh_b = bucket_of(fresh_url)
+
+    def snap():
+        out = {}
+        for b in os.listdir(stage_dir):
+            if not b.startswith("__bucket="):
+                continue
+            d = os.path.join(stage_dir, b)
+            out[b] = {f: os.stat(os.path.join(d, f)).st_mtime_ns for f in os.listdir(d)}
+        return out
+
+    before = snap()
+    fresh = spark.createDataFrame([(fresh_url, 999)], ["url", "v"])
+    out = store.replace_scoped(
+        "tbl",
+        fresh,
+        doomed_fn=lambda live: live.filter(F.col("url").isin(victim_urls)),
+        row_keys=["url"],
+        bucket_key="url",
+        n_buckets=8,
+        lineage_key="url",
+    )
+    got = {r["url"]: r["v"] for r in out.collect()}
+    expect = {
+        f"u{i}": i for i in range(40) if f"u{i}" not in victim_urls
+    } | {fresh_url: 999}
+    assert got == expect
+    assert not os.path.exists(
+        os.path.join(stage_dir, f"__bucket={victim_b}")
+    ), "fully-doomed bucket dir must be removed"
+    after = snap()
+    for b in before:
+        if b not in (f"__bucket={victim_b}", f"__bucket={fresh_b}"):
+            assert after[b] == before[b], f"untouched bucket {b} rewritten"
+    assert store.is_committed("tbl")
+
+    # zero-touched path: empty doomed + empty fresh after the caller's guard
+    # invalidated the marker -> recommit in place, contents unchanged
+    store.invalidate("tbl")
+    out2 = store.replace_scoped(
+        "tbl",
+        spark.createDataFrame([], base.schema),
+        doomed_fn=lambda live: live.limit(0),
+        row_keys=["url"],
+        bucket_key="url",
+        n_buckets=8,
+        lineage_key="url",
+    )
+    assert store.is_committed("tbl")
+    assert {r["url"]: r["v"] for r in out2.collect()} == expect
+    assert snap() == after
+
+
+def test_replace_scoped_emptied_bucket_crash_recovery(spark, tmp_path):
+    """Crash window unique to the delete+insert merge: the scoped tmp is
+    complete but holds NO dir for a bucket whose merge result is empty.
+    Recovery must learn the emptied set from the sentinel (absence-from-tmp
+    is ambiguous once renames begin) and delete that live bucket dir, or its
+    doomed rows silently survive."""
+    import json
+    import os
+
+    from dedupe_archived_files_spark.plans.lineage import CheckpointStore
+
+    root = str(tmp_path / "rsc")
+    store = CheckpointStore(spark, root)
+    base = spark.createDataFrame([(f"u{i}", i) for i in range(40)], ["url", "v"])
+    store.write_stage("tbl", base, key_col="url", bucket_key="url", n_buckets=8)
+    stage_dir = os.path.join(root, "tbl")
+
+    by_bucket: dict = {}
+    for r in (
+        spark.createDataFrame([(f"u{i}",) for i in range(40)], ["url"])
+        .select("url", CheckpointStore._bucket_expr("url", 8).alias("b"))
+        .collect()
+    ):
+        by_bucket.setdefault(r["b"], []).append(r["url"])
+    victim_b, victim_urls = sorted(by_bucket.items())[0]
+    fresh_b, fresh_urls = sorted(by_bucket.items())[1]
+
+    # merge result: victim bucket emptied; fresh bucket rewritten with one
+    # value bumped — written to the scoped tmp exactly as the writer would
+    merged = (
+        spark.read.parquet(stage_dir)
+        .filter(F.col("__bucket") == fresh_b)
+        .withColumn(
+            "v",
+            F.when(F.col("url") == fresh_urls[0], F.lit(7777)).otherwise(
+                F.col("v")
+            ),
+        )
+    )
+    scoped_tmp = stage_dir + ".__merge_scoped_tmp"
+    merged.write.mode("overwrite").partitionBy("__bucket").parquet(scoped_tmp)
+    with open(stage_dir + ".__merge_inprogress", "w") as f:
+        json.dump(
+            {
+                "stage": "tbl",
+                "scoped": True,
+                "buckets": [victim_b, fresh_b],
+                "empty_buckets": [victim_b],
+            },
+            f,
+        )
+    os.remove(os.path.join(root, "tbl._COMMITTED"))
+    # crash here: no deletion, no rename has happened yet
+
+    assert store.recover_upsert("tbl", lineage_key="url")
+    assert store.is_committed("tbl")
+    got = {r["url"]: r["v"] for r in store.read_stage("tbl").collect()}
+    expect = {
+        f"u{i}": i for i in range(40) if f"u{i}" not in victim_urls
+    } | {fresh_urls[0]: 7777}
+    assert got == expect
+    assert not os.path.exists(os.path.join(stage_dir, f"__bucket={victim_b}"))
+    assert not os.path.exists(scoped_tmp)
