@@ -134,6 +134,32 @@ def main() -> None:
         if summary["scaling_efficiency_4_to_16"] >= 0.8
         else f"**MISSED** ({summary['scaling_efficiency_4_to_16']} < 0.8)"
     )
+    # honesty notes derived from the recorded per-level spreads: an efficiency
+    # over 1 is amortization/measurement noise, not a plan property, and any
+    # pair built on a level whose own two runs disagreed is flagged as such
+    over_unity = (
+        " (an efficiency slightly over the ideal 1.0 is fixed-cost"
+        " amortization + run noise at the stable levels'"
+        f" {max(levels[4].get('spread', 0), levels[16].get('spread', 0)):.0%}"
+        " spread, not a claim of superlinear scaling)"
+        if summary["scaling_efficiency_4_to_16"] > 1
+        else ""
+    )
+    noisy_levels = sorted(
+        c for c in levels if levels[c].get("spread", 0) > 0.25
+    )
+    noisy_note = (
+        "\n* measurement flag: "
+        + ", ".join(
+            f"local[{c}]'s two runs disagreed by {levels[c]['spread']:.0%}"
+            for c in noisy_levels
+        )
+        + " (per-level `runs`/`spread` in the JSON) — any pair using"
+        " that level inherits the uncertainty and its round-over-round"
+        " movement is not interpretable"
+        if noisy_levels
+        else ""
+    )
     md = f"""# BENCH — throughput & scaling evidence
 
 Pipeline: extract+featurize (one fused Arrow UDF) → block
@@ -155,11 +181,11 @@ cannot borrow idle cores the way no real N-core executor could):
 
 * **N→4N demonstration: local[4] → local[16] speedup
   {summary['speedup_4_to_16']}× (ideal 4×), efficiency
-  {summary['scaling_efficiency_4_to_16']} — gate {gate_4_16}**
+  {summary['scaling_efficiency_4_to_16']} — gate {gate_4_16}**{over_unity}
 * saturation-bound pair: local[8] → local[32] speedup
   {summary['speedup_8_to_32']}×, efficiency
   {summary['scaling_efficiency_8_to_32']} (this pair measures single-box
-  oversubscription, not the gate — see below)
+  oversubscription, not the gate — see below){noisy_note}
 
 Corpus size is 2.4M pages this round (1.2M in rounds 2-3): per-run fixed
 latency — stage scheduling, AQE re-plan rounds, the CC driver loop, cache
@@ -183,9 +209,10 @@ in a Spark-free multiprocessing harness keeps only 78% per-core efficiency at
 32 procs — SCALING.md — so part of the 8→32 gap is machine-level contention
 no plan shape can recover). The round-4 blocking fix (slim count-agg,
 data-proportional partitioning, SCALING.md round-4 section) lifted the
-saturation pair from 0.395 to 0.742 — most of what looked like an
-oversubscription ceiling in round 3 was actually the superlinear agg. Both
-pairs are reported every round; neither is cherry-picked away.
+saturation pair from 0.395 (round 3) to 0.742 (round 4) — most of what
+looked like an oversubscription ceiling in round 3 was actually the
+superlinear agg. Both pairs are reported every round; neither is
+cherry-picked away.
 
 Local mode also shares one JVM/driver and shuffles in-process (no network), so
 these numbers measure the job's ability to keep N cores busy, not network
