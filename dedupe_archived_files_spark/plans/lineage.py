@@ -61,6 +61,37 @@ class CheckpointStore:
             return False
         return any(n.startswith(f"{self.BUCKET_COL}=") for n in os.listdir(path))
 
+    # The committed bucket modulus travels WITH the data (underscore-prefixed
+    # → invisible to Spark's parquet reader): a scoped merge that hashed its
+    # delta with a DIFFERENT n_buckets than the layout on disk would prune to
+    # the wrong dirs and leave doomed rows alive in unread buckets — so every
+    # scoped path validates the layout first and falls back to a full
+    # (migrating) rewrite on any mismatch. A bucketed dir WITHOUT the file
+    # (pre-layout-stamp engine) reads as None ≠ any n, forcing one clean
+    # migration rewrite that stamps it.
+    _LAYOUT_FILE = "_bucket_layout.json"
+
+    def _write_layout(self, data_dir: str, n_buckets: int) -> None:
+        with open(os.path.join(data_dir, self._LAYOUT_FILE), "w") as f:
+            json.dump({"bucket_key_space": "xxhash64_pmod", "n_buckets": n_buckets}, f)
+
+    def _bucket_layout(self, stage: str) -> int | None:
+        try:
+            with open(os.path.join(self._dir(stage), self._LAYOUT_FILE)) as f:
+                return int(json.load(f)["n_buckets"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
+
+    def scoped_merge_ok(self, stage: str, n_buckets: int) -> bool:
+        """True iff the stage's on-disk layout supports a bucket-scoped
+        merge at this modulus: complete data dir, bucketed, and the stamped
+        layout matches ``n_buckets``."""
+        return (
+            os.path.exists(os.path.join(self._dir(stage), "_SUCCESS"))
+            and self._is_bucketed(stage)
+            and self._bucket_layout(stage) == n_buckets
+        )
+
     def write_stage(
         self,
         stage: str,
@@ -79,6 +110,15 @@ class CheckpointStore:
         ``bucket_key`` then rewrites ONLY the buckets the delta touches
         (O(delta × corpus/n_buckets) I/O) instead of the whole stage."""
         path = self._dir(stage)
+        # a FULL overwrite makes any leftover merge tmp/sentinel stale by
+        # definition — drop them now, or a later recovery could resurrect a
+        # pre-overwrite tmp over this commit (rolling it back silently)
+        for d in (path + ".__merge_tmp", path + ".__merge_scoped_tmp"):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        stale_sentinel = path + ".__merge_inprogress"
+        if os.path.exists(stale_sentinel):
+            os.remove(stale_sentinel)
         if bucket_key is not None:
             (
                 df.withColumn(self.BUCKET_COL, self._bucket_expr(bucket_key, n_buckets))
@@ -86,6 +126,7 @@ class CheckpointStore:
                 .partitionBy(self.BUCKET_COL)
                 .parquet(path)
             )
+            self._write_layout(path, n_buckets)
         else:
             df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
@@ -185,13 +226,19 @@ class CheckpointStore:
                 stage, df, merge_keys[0], bucket_key=bucket_key, n_buckets=n_buckets
             )
 
-        if bucket_key is not None and self._is_bucketed(stage):
+        if bucket_key is not None and self.scoped_merge_ok(stage, n_buckets):
             # Scoped MERGE (Iceberg file-level economics on plain parquet):
             # rewrite ONLY the directory buckets the delta touches. The
             # untouched buckets' parquet files are never read OR written —
             # delta I/O is O(delta × corpus/n_buckets), not O(corpus).
+            # Eager pin: the delta's plan can be expensive (the incremental
+            # pipeline passes the featurize UDF over new/changed rows) and is
+            # consumed twice (bucket discovery + the merge write) — without
+            # the pin both consumers re-run it.
             expr = self._bucket_expr(bucket_key, n_buckets)
-            delta = df.withColumn(self.BUCKET_COL, expr)
+            delta = df.withColumn(self.BUCKET_COL, expr).localCheckpoint(
+                eager=True
+            )
             touched = sorted(
                 r[0]
                 for r in delta.select(self.BUCKET_COL).distinct().collect()
@@ -200,7 +247,7 @@ class CheckpointStore:
                 F.col(self.BUCKET_COL).isin(touched)  # directory pruning
             )
             kept = live.join(
-                df.select(*merge_keys).distinct(), merge_keys, "left_anti"
+                delta.select(*merge_keys).distinct(), merge_keys, "left_anti"
             )
             merged_touched = kept.unionByName(
                 delta.select(*kept.columns)  # align column order
@@ -210,18 +257,22 @@ class CheckpointStore:
             )
 
         existing = self.read_stage(stage)
+        delta = df.localCheckpoint(eager=True)  # consumed twice below
         kept = existing.join(
-            df.select(*merge_keys).distinct(), merge_keys, "left_anti"
+            delta.select(*merge_keys).distinct(), merge_keys, "left_anti"
         )
-        merged = kept.unionByName(df)
+        merged = kept.unionByName(delta)
         if bucket_key is not None:
-            # committed stage predates bucketing: this merge migrates it to
-            # the bucketed layout (one full rewrite; scoped thereafter)
+            # committed stage predates bucketing (or was bucketed under a
+            # different modulus — scoped_merge_ok refused): this merge
+            # migrates it to the requested layout (one full rewrite; scoped
+            # thereafter)
             merged = merged.withColumn(
                 self.BUCKET_COL, self._bucket_expr(bucket_key, n_buckets)
             )
             return self._swap_commit(
-                stage, merged, merge_keys[0], partition_bucketed=True
+                stage, merged, merge_keys[0], partition_bucketed=True,
+                n_buckets=n_buckets,
             )
         return self._swap_commit(stage, merged, merge_keys[0])
 
@@ -264,22 +315,25 @@ class CheckpointStore:
         merge's own commit). Callers fall back to a full
         :meth:`rewrite_stage` (which can migrate the layout) otherwise."""
         self.recover_upsert(stage, lineage_key=lineage_key)
-        if not (
-            os.path.exists(os.path.join(self._dir(stage), "_SUCCESS"))
-            and self._is_bucketed(stage)
-        ):
+        if not self.scoped_merge_ok(stage, n_buckets):
             raise ValueError(
-                f"replace_scoped requires a complete bucketed stage dir; "
-                f"'{stage}' is not — use rewrite_stage(bucket_key=...) to "
-                f"migrate first"
+                f"replace_scoped requires a complete bucketed stage dir whose "
+                f"stamped layout matches n_buckets={n_buckets}; '{stage}' "
+                f"(layout={self._bucket_layout(stage)}) is not — use "
+                f"rewrite_stage(bucket_key=...) to migrate first"
             )
         live = self.spark.read.parquet(self._dir(stage))
-        doomed_keys = doomed_fn(live).select(
-            self.BUCKET_COL, *row_keys
-        ).distinct()
+        # eager pins: both frames are small (O(doomed keys) / O(fresh rows))
+        # and consumed twice — bucket discovery and the merge write
+        doomed_keys = (
+            doomed_fn(live)
+            .select(self.BUCKET_COL, *row_keys)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         fresh_b = fresh.withColumn(
             self.BUCKET_COL, self._bucket_expr(bucket_key, n_buckets)
-        )
+        ).localCheckpoint(eager=True)
         # pin the touched-bucket ids BEFORE any write (the plans read the
         # live files the swap replaces); both sides are small: ≤ n_buckets
         touched = sorted(
@@ -351,7 +405,8 @@ class CheckpointStore:
                 self.BUCKET_COL, self._bucket_expr(bucket_key, n_buckets)
             )
             return self._swap_commit(
-                stage, merged, key_col, partition_bucketed=True
+                stage, merged, key_col, partition_bucketed=True,
+                n_buckets=n_buckets,
             )
         return self._swap_commit(stage, merged, key_col)
 
@@ -361,6 +416,7 @@ class CheckpointStore:
         merged: DataFrame,
         lineage_key: str | None,
         partition_bucketed: bool = False,
+        n_buckets: int | None = None,
     ) -> DataFrame:
         """Commit ``merged`` as the new contents of ``stage`` via the
         kill-safe swap documented on :meth:`upsert_stage` (tmp write →
@@ -377,6 +433,9 @@ class CheckpointStore:
         if partition_bucketed:
             w = w.partitionBy(self.BUCKET_COL)
         w.parquet(tmp)
+        if partition_bucketed and n_buckets is not None:
+            # stamp the layout INTO the tmp so the atomic rename carries it
+            self._write_layout(tmp, n_buckets)
         with open(sentinel, "w") as f:
             json.dump({"stage": stage, "started_at": time.time()}, f)
         if os.path.exists(marker):
@@ -546,8 +605,18 @@ class CheckpointStore:
             return _sentinel_meta().get("buckets")
 
         recovered = False
+        # A tmp is only trustworthy when the SENTINEL vouches for it: the
+        # writers' ordering is tmp write → sentinel → marker removal →
+        # rename(s), so every genuine mid-swap crash leaves the sentinel in
+        # place. An uncommitted stage with a tmp but NO sentinel means the
+        # marker was removed by someone else (the incremental pipeline's
+        # stale-downstream guard, or a fresh-write crash) and the tmp may
+        # predate a LATER full rewrite of the stage — renaming it over the
+        # live dir would silently roll that rewrite back. Those orphans are
+        # garbage: delete them and let the caller recompute.
+        vouched = os.path.exists(sentinel)
         if not self.is_committed(stage):
-            if os.path.exists(os.path.join(scoped_tmp, "_SUCCESS")):
+            if vouched and os.path.exists(os.path.join(scoped_tmp, "_SUCCESS")):
                 # scoped swap died mid-loop: every bucket dir still inside
                 # the scoped tmp is a complete per-bucket merge result whose
                 # rename had not happened — finish exactly those renames
@@ -557,21 +626,23 @@ class CheckpointStore:
                 )
                 _recommit(_sentinel_buckets())
                 recovered = True
-            elif os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            elif vouched and os.path.exists(os.path.join(tmp, "_SUCCESS")):
                 # full swap never finished: tmp holds the full merge result
                 if os.path.exists(path):
                     shutil.rmtree(path)
                 os.rename(tmp, path)
                 _recommit()
                 recovered = True
-            elif os.path.exists(sentinel) and os.path.exists(
-                os.path.join(path, "_SUCCESS")
-            ):
+            elif vouched and os.path.exists(os.path.join(path, "_SUCCESS")):
                 # rename completed but marker rewrite did not: the live dir
                 # already holds the merged rows — recommit, don't restart
                 # (scoped sentinel → scoped lineage recommit)
                 _recommit(_sentinel_buckets())
                 recovered = True
+            else:
+                for d in (tmp, scoped_tmp):
+                    if os.path.exists(d):
+                        shutil.rmtree(d)
         else:
             # committed stage + leftover tmp: a merge crashed BEFORE its
             # marker removal, so the live data is the intact pre-merge

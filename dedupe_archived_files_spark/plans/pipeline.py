@@ -469,7 +469,9 @@ def run_pipeline_checkpointed(
                         ).select(*live.columns)
                     )
 
-                if edges_scoped_ok and store._is_bucketed("edges"):
+                if edges_scoped_ok and store.scoped_merge_ok(
+                    "edges", cfg.store_buckets
+                ):
                     # scoped recompute + bucket-scoped edge MERGE: blocking/
                     # scoring run only over blocks touching a changed url
                     # (compute scoped), and the store rewrites only the
@@ -533,7 +535,7 @@ def run_pipeline_checkpointed(
                     fresh_urls = fresh_box["fresh_urls"].localCheckpoint(
                         eager=True
                     )
-                    if store._is_bucketed("clusters"):
+                    if store.scoped_merge_ok("clusters", cfg.store_buckets):
                         # bucket-scoped clusters MERGE: only the url-hash
                         # buckets holding relabeled or doomed rows rewrite.
                         # Direct dir read (not read_stage): the marker was

@@ -28,10 +28,16 @@ stdlib; 7z/RAR are dispatched to py7zr/rarfile when importable and degrade
 to an `unsupported:` status row otherwise (those wheels are absent in this
 container — same gating as the reference's optional libarchive fallback).
 
-Scale notes: one row = one archive blob, so per-task memory is bounded by
-the largest single archive, not the corpus; `max_member_bytes` caps any one
-member's expansion (zip-bomb guard — the cap is REPORTED as a `truncated:`
-status, never silent, per the north rule's "caps logged, not silent").
+Scale notes: per-task memory is bounded by (largest single archive blob +
+one member + the ~64 MiB output flush budget), not by the corpus and not by
+the Arrow batch's total expansion — enumeration streams out incrementally
+(`op` flushes mid-batch and mid-archive). `max_member_bytes` caps any one
+member's expansion (zip-bomb guard) and is enforced BEFORE decompression:
+ZIP/TAR members are rejected on their size headers without being read, and
+header-less containers (bare gzip/bz2/xz) run through a capped streaming
+decompressor that stops at cap+1 bytes. The cap is REPORTED as a
+`truncated:` status row, never silent, per the north rule's "caps logged,
+not silent".
 """
 
 from __future__ import annotations
@@ -101,6 +107,23 @@ def sniff_archive_format(content: bytes | None, name: str = "") -> str | None:
     return None
 
 
+def _capped_decompress(fmt: str, data: bytes, cap: int) -> bytes | None:
+    """Streaming decompress with a hard output cap: returns the bytes, or
+    None the moment output would exceed ``cap`` — the input is never inflated
+    past cap+1 bytes, so a compression bomb in a header-less container
+    (bare gzip/bz2/xz) cannot OOM the task."""
+    import zlib
+
+    if fmt == "gzip":
+        d = zlib.decompressobj(wbits=31)
+    elif fmt == "bzip2":
+        d = bz2.BZ2Decompressor()
+    else:
+        d = lzma.LZMADecompressor()
+    out = d.decompress(data, cap + 1)
+    return None if len(out) > cap else out
+
+
 def _strip_one_suffix(name: str) -> str:
     for ext in _COMPRESSED_EXT:
         if name.lower().endswith(ext):
@@ -126,43 +149,79 @@ def _enumerate(
         yield (archive_path, None, None, depth, False, None, f"unsupported:{fmt}")
         return
 
-    def members() -> Iterator[tuple[str, bytes]]:
+    def members() -> Iterator[tuple[str, int | None]]:
+        """Yield ``(member_name, declared_size, read_bytes)`` WITHOUT reading
+        the member: the caller checks ``declared_size`` against the cap
+        BEFORE calling ``read_bytes``, so an oversized member is rejected on
+        its header and never decompressed into memory (a zip bomb must not
+        OOM the executor before the ``truncated:`` row can be emitted).
+        ``declared_size`` is None where the container has no per-member size
+        header (bare gzip/bz2/xz) — those decompress through a CAPPED
+        streaming decompressor instead (``_capped_decompress``)."""
         if fmt == "zip":
             with zipfile.ZipFile(io.BytesIO(content)) as zf:
                 for info in zf.infolist():
                     if info.is_dir():
                         continue
-                    yield info.filename, zf.read(info)
+                    # ZipExtFile stops at the declared size, so the header
+                    # check bounds memory even for a lying (bomb) header
+                    yield (
+                        info.filename,
+                        info.file_size,
+                        lambda i=info: zf.read(i),
+                    )
         elif fmt == "tar":
             with tarfile.open(fileobj=io.BytesIO(content), mode="r:*") as tf:
                 for info in tf.getmembers():
                     if not info.isreg():
                         continue
-                    fh = tf.extractfile(info)
-                    yield info.name, fh.read() if fh is not None else b""
+
+                    def _read_tar(i=info):
+                        fh = tf.extractfile(i)
+                        return fh.read() if fh is not None else b""
+
+                    yield info.name, info.size, _read_tar
         elif fmt in ("gzip", "bzip2", "xz"):
-            # single-compressed-file container: one member, name minus suffix
-            opener = {"gzip": gzip.decompress, "bzip2": bz2.decompress,
-                      "xz": lzma.decompress}[fmt]
-            yield _strip_one_suffix(name) or "member", opener(content)
+            # single-compressed-file container: one member, name minus
+            # suffix; no size header → capped streaming decompress
+            yield (
+                _strip_one_suffix(name) or "member",
+                None,
+                lambda: _capped_decompress(fmt, content, max_member_bytes),
+            )
         elif fmt == "7z":  # pragma: no cover - wheel absent in this container
             with py7zr.SevenZipFile(io.BytesIO(content)) as sz:
+                sizes = {
+                    e.filename: e.uncompressed for e in sz.list()
+                }
                 for mname, bio in (sz.readall() or {}).items():
-                    yield mname, bio.read()
+                    yield mname, sizes.get(mname), lambda b=bio: b.read()
         elif fmt == "rar":  # pragma: no cover - wheel absent in this container
             with rarfile.RarFile(io.BytesIO(content)) as rf:
                 for info in rf.infolist():
                     if info.is_dir():
                         continue
-                    yield info.filename, rf.read(info)
+                    yield (
+                        info.filename,
+                        info.file_size,
+                        lambda i=info: rf.read(i),
+                    )
 
     try:
         empty = True
-        for mname, mbytes in members():
+        for mname, declared, read_bytes in members():
             empty = False
             mpath = f"{name}/{mname}" if depth > 0 else mname
-            if len(mbytes) > max_member_bytes:
-                yield (archive_path, mpath, len(mbytes), depth, False, None,
+            if declared is not None and declared > max_member_bytes:
+                # rejected on the HEADER — the member is never decompressed
+                yield (archive_path, mpath, declared, depth, False, None,
+                       f"truncated:{max_member_bytes}")
+                continue
+            mbytes = read_bytes()
+            if mbytes is None or len(mbytes) > max_member_bytes:
+                # capped stream overflowed (no size header), or the header
+                # lied low — either way the cap is reported, never silent
+                yield (archive_path, mpath, None, depth, False, None,
                        f"truncated:{max_member_bytes}")
                 continue
             nested_fmt = sniff_archive_format(mbytes, mname)
@@ -200,18 +259,35 @@ def enumerate_archive_members(
     regular-file member (reference S3-S7), nested archives expanded in-task
     (S10), failures quarantined as status rows (S9)."""
 
+    # Flush bound: emit an output DataFrame whenever the buffered member
+    # content crosses this many bytes (or rows), so task memory is bounded by
+    # ~flush budget + one member — NOT by the whole Arrow batch's expansion
+    # (an input batch of thousands of archives, each inflating 100x, must
+    # stream out incrementally; _enumerate is already a generator, so even
+    # one huge archive flushes mid-enumeration).
+    FLUSH_BYTES = 64 << 20
+    FLUSH_ROWS = 4096
+    cols = [f.name for f in ARCHIVE_MEMBER_SCHEMA]
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[tuple] = []
+        acc = 0
         for pdf in batches:
-            rows: list[tuple] = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
                 if content is None:
                     rows.append((path, None, None, 0, False, None, "missing"))
                     continue
-                rows.extend(
-                    _enumerate(path, path.rsplit("/", 1)[-1], bytes(content),
-                               0, max_depth, max_member_bytes)
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in ARCHIVE_MEMBER_SCHEMA])
+                for row in _enumerate(
+                    path, path.rsplit("/", 1)[-1], bytes(content),
+                    0, max_depth, max_member_bytes,
+                ):
+                    rows.append(row)
+                    acc += len(row[5] or b"")
+                    if acc >= FLUSH_BYTES or len(rows) >= FLUSH_ROWS:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, acc = [], 0
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
 
     return archives.select(path_col, content_col).mapInPandas(
         op, schema=ARCHIVE_MEMBER_SCHEMA

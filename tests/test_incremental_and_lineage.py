@@ -129,8 +129,11 @@ def test_upsert_stage_merge_semantics(spark, tmp_path):
 
 def test_upsert_stage_crash_recovery(spark, tmp_path):
     """A kill between marker-removal and the directory swap leaves a
-    completed .__merge_tmp — the retry must finish the swap (keeping the
-    merged rows), never treat the stage as fresh."""
+    completed .__merge_tmp (with the in-progress sentinel — the writer drops
+    it BEFORE removing the marker, so every genuine mid-swap crash has it) —
+    the retry must finish the swap (keeping the merged rows), never treat
+    the stage as fresh."""
+    import json
     import os
     import shutil
 
@@ -141,9 +144,12 @@ def test_upsert_stage_crash_recovery(spark, tmp_path):
     base = spark.createDataFrame([("u1", 1), ("u2", 2)], ["url", "v"])
     store.write_stage("tbl", base, key_col="url")
     merged = spark.createDataFrame([("u1", 1), ("u2", 20), ("u3", 30)], ["url", "v"])
-    # simulate the crash window: tmp fully written, marker gone, dir gone
+    # simulate the crash window: tmp fully written, sentinel down, marker
+    # gone, dir gone (the writer's exact ordering)
     tmp = os.path.join(root, "tbl.__merge_tmp")
     merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(root, "tbl.__merge_inprogress"), "w") as f:
+        json.dump({"stage": "tbl"}, f)
     os.remove(os.path.join(root, "tbl._COMMITTED"))
     shutil.rmtree(os.path.join(root, "tbl"))
     # retrying with a new batch recovers the merge, then applies the batch
@@ -901,3 +907,79 @@ def test_replace_scoped_emptied_bucket_crash_recovery(spark, tmp_path):
     assert got == expect
     assert not os.path.exists(os.path.join(stage_dir, f"__bucket={victim_b}"))
     assert not os.path.exists(scoped_tmp)
+
+
+def test_recover_never_resurrects_unvouched_tmp(spark, tmp_path):
+    """A leftover merge tmp with NO in-progress sentinel must never be
+    renamed over the live stage: the writers' ordering guarantees every
+    genuine mid-swap crash leaves the sentinel, so an unvouched tmp is a
+    stale orphan from BEFORE a later full rewrite — resurrecting it would
+    silently roll that rewrite back. recover_upsert deletes it instead."""
+    import os
+
+    from dedupe_archived_files_spark.plans.lineage import CheckpointStore
+
+    root = str(tmp_path / "orphan")
+    store = CheckpointStore(spark, root)
+    stale = spark.createDataFrame([("u_old", 1)], ["url", "v"])
+    current = spark.createDataFrame([(f"u{i}", i) for i in range(5)], ["url", "v"])
+    store.write_stage("tbl", current, key_col="url")
+    stage_dir = os.path.join(root, "tbl")
+    # plant an orphan tmp holding STALE (complete, _SUCCESS-marked) data,
+    # then invalidate the marker the way the pipeline's stale-downstream
+    # guard does — the exact window the resurrection bug lived in
+    stale.write.mode("overwrite").parquet(stage_dir + ".__merge_tmp")
+    store.invalidate("tbl")
+
+    assert not store.recover_upsert("tbl", lineage_key="url")
+    assert not os.path.exists(stage_dir + ".__merge_tmp")
+    got = {r["url"]: r["v"] for r in spark.read.parquet(stage_dir).collect()}
+    assert got == {f"u{i}": i for i in range(5)}, "live data must be intact"
+    # write_stage also sweeps orphans before a fresh overwrite
+    stale.write.mode("overwrite").parquet(stage_dir + ".__merge_scoped_tmp")
+    store.write_stage("tbl", current, key_col="url")
+    assert not os.path.exists(stage_dir + ".__merge_scoped_tmp")
+
+
+def test_bucket_layout_mismatch_forces_migration(spark, tmp_path):
+    """Changing n_buckets between runs must never scope a merge against the
+    old modulus (the delta would prune to the WRONG dirs and doomed rows
+    would survive unread): the stamped layout gates the scoped paths, a
+    mismatched upsert migrates via full rewrite, and replace_scoped refuses
+    outright."""
+    import os
+
+    import pytest as _pytest
+
+    from dedupe_archived_files_spark.plans.lineage import CheckpointStore
+
+    root = str(tmp_path / "layout")
+    store = CheckpointStore(spark, root)
+    base = spark.createDataFrame([(f"u{i}", i) for i in range(40)], ["url", "v"])
+    store.write_stage("tbl", base, key_col="url", bucket_key="url", n_buckets=8)
+    assert store._bucket_layout("tbl") == 8
+    assert store.scoped_merge_ok("tbl", 8)
+    assert not store.scoped_merge_ok("tbl", 4)
+
+    with _pytest.raises(ValueError, match="layout"):
+        store.replace_scoped(
+            "tbl",
+            spark.createDataFrame([("unew", 1)], ["url", "v"]),
+            doomed_fn=lambda live: live.limit(0),
+            row_keys=["url"],
+            bucket_key="url",
+            n_buckets=4,
+        )
+
+    # upsert at the new modulus self-heals: full migration rewrite, correct
+    # contents, layout restamped — scoped merges work again at n=4
+    delta = spark.createDataFrame([("u3", 300)], ["url", "v"])
+    out = store.upsert_stage("tbl", delta, merge_keys=["url"], bucket_key="url", n_buckets=4)
+    assert {r["url"]: r["v"] for r in out.collect()} == (
+        {f"u{i}": i for i in range(40)} | {"u3": 300}
+    )
+    assert store._bucket_layout("tbl") == 4
+    assert store.scoped_merge_ok("tbl", 4)
+    stage_dir = os.path.join(root, "tbl")
+    n_dirs = sum(1 for n in os.listdir(stage_dir) if n.startswith("__bucket="))
+    assert 1 < n_dirs <= 4

@@ -373,3 +373,38 @@ def test_cross_archive_duplicate_detection(spark):
         "a2.zip#other/shared_copy.txt",
     ]
     assert clusters[0]["canonical_url"] == "a1.zip#keep/shared.txt"
+
+
+def test_archive_member_cap_enforced_before_decompression(spark):
+    """Zip-bomb guard semantics: an oversized member is rejected on its SIZE
+    HEADER (zip/tar) or by the capped streaming decompressor (bare gzip —
+    no header), reported as a `truncated:` status row with null content;
+    in-cap siblings in the same archive still enumerate."""
+    import gzip as _gzip
+
+    from dedupe_archived_files_spark.sources.archives import (
+        _capped_decompress,
+        enumerate_archive_members,
+    )
+
+    big = b"x" * 4096
+    z = _zip_bytes([("small.txt", b"ok"), ("big.bin", big)])
+    g = _gzip.compress(b"y" * 4096)  # expands far past the cap below
+    df = spark.createDataFrame(
+        [("a.zip", z), ("b.gz", g)], "path string, content binary"
+    )
+    rows = {
+        (r["archive_path"], r["member_path"]): r
+        for r in enumerate_archive_members(df, max_member_bytes=1024).collect()
+    }
+    trunc = rows[("a.zip", "big.bin")]
+    assert trunc["status"] == "truncated:1024"
+    assert trunc["content"] is None
+    assert trunc["member_size"] == len(big)  # header size, member never read
+    assert rows[("a.zip", "small.txt")]["status"] == "ok"
+    gz = rows[("b.gz", "b")]
+    assert gz["status"] == "truncated:1024" and gz["content"] is None
+
+    # the capped decompressor itself never inflates past cap+1
+    assert _capped_decompress("gzip", g, 1024) is None
+    assert _capped_decompress("gzip", _gzip.compress(b"z" * 100), 1024) == b"z" * 100
