@@ -97,10 +97,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": Q.embedding_ann_ivf,
         "embedding_ann_ivf2": Q.embedding_ann_ivf2,
         "embedding_cosine_near_dup": Q.embedding_cosine_near_dup,
+        # SemDeDup-style k-means-blocked semantic dedup (rows-only driver
+        # check — centroids engine-internal; recall+precision gated in pytest
+        # vs brute-force all-pairs truth, reported per bench run)
+        "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,
         # multimodal plumbing
         "multimodal_binary_meta": Q.multimodal_binary_meta,
         # archive enumeration (reference S3-S7/S9-S11 core domain)
         "archive_member_enumeration": Q.archive_member_enumeration,
+        # event-time operators (gap sessionization, composed AS-OF join)
+        "sessionize_events": Q.sessionize_events,
+        "asof_join_events": Q.asof_join_events,
+        # passage-level near-dup (winnowing inverted index, MOSS shape)
+        "fingerprint_overlap_near_dup": Q.fingerprint_overlap_near_dup,
     }
 
 
@@ -382,5 +391,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(coalesce(text, '')) AS BIGINT) AS member_size,
                    sha256(coalesce(text, '')) AS full_hash
             FROM documents
+        """,
+        # gap sessionization: 30-min inactivity closes a session; ordering
+        # key (ts, event_id) and truncate-to-second gap math match the Spark
+        # window formulation exactly (date_diff('second') counts boundary
+        # crossings == floor-epoch difference)
+        "sessionize_events": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM o
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+                     AS duration_secs
+            FROM s GROUP BY user_id, session_seq
+        """,
+        # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
+        # Spark union+window composition; build side deduped to one row per
+        # (user_id, ts) on both sides so ties are deterministic
+        "asof_join_events": """
+            WITH v AS (
+              SELECT user_id, ts, max(event_id) AS view_event_id
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            ),
+            p AS (
+              SELECT event_id, ts, user_id, value AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, p.ts AS purchase_ts, p.user_id,
+                   p.purchase_value, v.view_event_id, v.ts AS view_ts
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        # passage-level near-dup: winnowing fingerprint inverted index with
+        # the SAME doc-frequency cap (32), min-shared threshold (10) and
+        # containment floor (0.3) the Spark operator applies — thresholds are
+        # part of the operator contract, so outputs match exactly at any
+        # scale (the >= 0.3 filter runs on the unrounded IEEE quotient of the
+        # same two int64s in both engines, so it cannot flake at boundaries)
+        "fingerprint_overlap_near_dup": """
+            WITH pos AS (
+              SELECT doc_id, i AS pos,
+                     CAST(concat('0x', substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15)) AS BIGINT) AS h
+              FROM documents, unnest(range(1, length(text) - 6)) AS u(i)
+              WHERE length(text) >= 8
+            ),
+            mins AS (
+              SELECT doc_id,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+              FROM pos
+            ),
+            fps AS (SELECT DISTINCT doc_id, mh AS fp FROM mins),
+            kept AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 32),
+            f2 AS (SELECT fps.doc_id, fps.fp FROM fps JOIN kept USING (fp)),
+            nf AS (SELECT doc_id, count(*) AS n_fp FROM f2 GROUP BY doc_id),
+            pr AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     count(*) AS n_shared
+              FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 10
+            )
+            SELECT doc_id_a, doc_id_b, CAST(n_shared AS BIGINT) AS n_shared,
+                   round(n_shared * 1.0 / least(na.n_fp, nb.n_fp), 4)
+                     AS containment
+            FROM pr
+            JOIN nf na ON na.doc_id = pr.doc_id_a
+            JOIN nf nb ON nb.doc_id = pr.doc_id_b
+            WHERE n_shared * 1.0 / least(na.n_fp, nb.n_fp) >= 0.3
         """,
     }

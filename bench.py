@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     "embedding_ann_ivf2",
     "embedding_cosine_near_dup",
     "multimodal_binary_meta",
+    "sessionize_events",
+    "asof_join_events",
+    "fingerprint_overlap_near_dup",
+    "semantic_dedup_embeddings",
 ]
 
 
@@ -114,6 +118,32 @@ def main() -> None:
             for r in all_q[name](spark, sf_dir).collect()
         }
         ann_recall[name] = round(len(truth & got) / len(truth), 3)
+
+    # semantic dedup: recall vs the brute-force ALL-PAIRS truth (numpy over
+    # one bounded collect of this SF's embeddings), mirroring the operator's
+    # round-then-threshold contract
+    import numpy as np
+
+    erows = sorted(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in erows])
+    X = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in erows])
+    nrm = np.sqrt((X * X).sum(axis=1))
+    S = (X @ X.T) / np.outer(nrm, nrm)
+    iu = np.triu_indices(len(ids), k=1)
+    pmask = np.round(S[iu], 4) >= Q.COSINE_TAU
+    pair_truth = {
+        (int(ids[i]), int(ids[j])) for i, j in zip(iu[0][pmask], iu[1][pmask])
+    }
+    pair_got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in all_q["semantic_dedup_embeddings"](spark, sf_dir).collect()
+    }
+    ann_recall["semantic_dedup_embeddings"] = round(
+        len(pair_truth & pair_got) / max(1, len(pair_truth)), 3
+    )
 
     # end-to-end pipeline: extract → block → score → cluster → resolve
     pages = docs_as_pages(spark, sf_dir)

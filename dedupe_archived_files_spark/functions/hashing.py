@@ -95,3 +95,90 @@ def two_tier_hashes(
     fh = full_hash(text_col, algo)
     qh = F.when(size_col >= threshold, quick_hash(text_col, quick_size, algo))
     return fh, qh
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python XXH64 reference implementation (public spec, Cyan4973/xxHash
+# XXH64 algorithm). Purpose: a CROSS-IMPLEMENTATION PARITY ORACLE for the
+# registry's JVM fast path — `_xxh64` above rides Spark's built-in
+# `F.xxhash64` (seed 42), and tests/test_extract_and_hash.py asserts this
+# implementation produces bit-identical digests for the same bytes. That
+# closes the same trust gap the env-gated xxh3 test covers for the reference
+# hash (core/hasher.py:88): the engine's non-cryptographic identity hash is
+# spec-checked, not assumed. NOT a hot-path function (the hot path is the
+# JVM builtin); driver/test use only.
+# ---------------------------------------------------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _xxrotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _U64
+
+
+def _xxround(acc: int, lane: int) -> int:
+    acc = (acc + lane * _XXP2) & _U64
+    return (_xxrotl(acc, 31) * _XXP1) & _U64
+
+
+def _xxmerge(h: int, acc: int) -> int:
+    h ^= _xxround(0, acc)
+    return (h * _XXP1 + _XXP4) & _U64
+
+
+def xxh64_py(data: bytes, seed: int = 42) -> int:
+    """XXH64 of ``data`` with ``seed`` (Spark's xxhash64 default is 42),
+    returned as an unsigned 64-bit int. Spec: xxHash XXH64, little-endian
+    lane reads, 32-byte stripes, 8/4/1-byte tail, final avalanche."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        a1 = (seed + _XXP1 + _XXP2) & _U64
+        a2 = (seed + _XXP2) & _U64
+        a3 = seed & _U64
+        a4 = (seed - _XXP1) & _U64
+        while i + 32 <= n:
+            a1 = _xxround(a1, int.from_bytes(data[i : i + 8], "little"))
+            a2 = _xxround(a2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            a3 = _xxround(a3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            a4 = _xxround(a4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (
+            _xxrotl(a1, 1) + _xxrotl(a2, 7) + _xxrotl(a3, 12) + _xxrotl(a4, 18)
+        ) & _U64
+        h = _xxmerge(h, a1)
+        h = _xxmerge(h, a2)
+        h = _xxmerge(h, a3)
+        h = _xxmerge(h, a4)
+    else:
+        h = (seed + _XXP5) & _U64
+    h = (h + n) & _U64
+    while i + 8 <= n:
+        h ^= _xxround(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_xxrotl(h, 27) * _XXP1 + _XXP4) & _U64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XXP1) & _U64
+        h = (_xxrotl(h, 23) * _XXP2 + _XXP3) & _U64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _U64
+        h = (_xxrotl(h, 11) * _XXP1) & _U64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _U64
+    h ^= h >> 29
+    h = (h * _XXP3) & _U64
+    h ^= h >> 32
+    return h
+
+
+def xxh64_py_hex(data: bytes, seed: int = 42) -> str:
+    """Digest formatted exactly as the registry's `_xxh64` Column emits it:
+    Spark `hex()` of the signed long trims leading zeros; lowercased."""
+    return format(xxh64_py(data, seed), "x")

