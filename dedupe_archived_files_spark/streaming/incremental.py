@@ -178,3 +178,34 @@ def start_incremental_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def crawl_sessions_stream(pages_text_stream: DataFrame) -> DataFrame:
+    """Native streaming gap sessionization: per-`lang` crawl sessions that
+    close after 30 minutes without a new page (the streaming twin of the
+    batch `queries.sessionize_events`, expressed with Spark's built-in
+    `session_window` so the state store — not a custom operator — merges and
+    expires sessions).
+
+    Watermarked at 2 hours: late pages older than the watermark drop out of
+    state instead of growing it without bound; a session's row emits once
+    its close is final under the watermark (append mode). Scale shape: the
+    state key is (lang, merged-window), so state size tracks ACTIVE sessions
+    only — the built-in operator merges overlapping windows and evicts
+    closed ones, exactly what a hand-rolled applyInPandasWithState would
+    have to re-implement."""
+    return (
+        pages_text_stream.withWatermark("warc_ts", "2 hours")
+        .groupBy(F.session_window("warc_ts", "30 minutes"), F.col("lang"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.approx_count_distinct("full_hash").alias("approx_distinct"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "lang",
+            "n_pages",
+            "approx_distinct",
+        )
+    )

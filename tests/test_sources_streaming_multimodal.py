@@ -408,3 +408,85 @@ def test_archive_member_cap_enforced_before_decompression(spark):
     # the capped decompressor itself never inflates past cap+1
     assert _capped_decompress("gzip", g, 1024) is None
     assert _capped_decompress("gzip", _gzip.compress(b"z" * 100), 1024) == b"z" * 100
+
+
+def test_crawl_sessions_stream(spark, tmp_path):
+    """Native session_window gap sessionization across micro-batches: pages
+    more than 30 min apart land in different sessions; append mode emits a
+    session only once the watermark (advanced by the SECOND micro-batch,
+    maxFilesPerTrigger=1) proves it closed. Verifies merged counts and the
+    first-ts/last-ts+gap window bounds."""
+    import datetime
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedupe_archived_files_spark.streaming.incremental import (
+        crawl_sessions_stream,
+    )
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    t0 = datetime.datetime(2025, 6, 1, 0, 0, 0)
+
+    def write_file(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "url": [r[0] for r in rows],
+                "warc_ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "html": pa.array([None] * len(rows), pa.binary()),
+                "text": [r[1] for r in rows],
+                "lang": [r[3] for r in rows],
+            }
+        )
+        path = str(src / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    mins = lambda m: t0 + datetime.timedelta(minutes=m)  # noqa: E731
+    now = _time.time()
+    # batch 1: en pages 0 + 10 min (ONE session, merged), en page at +120 min
+    # (a second session), de page at 0 (its own key)
+    write_file(
+        "b1.parquet",
+        [
+            ("u1", "text one", mins(0), "en"),
+            ("u2", "text two", mins(10), "en"),
+            ("u3", "text three", mins(120), "en"),
+            ("u4", "text vier", mins(0), "de"),
+        ],
+        now - 60,
+    )
+    # batch 2: far-future page advances the watermark (10 h - 2 h watermark
+    # = +8 h) past every batch-1 session end, forcing their append emission
+    write_file("b2.parquet", [("u5", "text five", mins(600), "en")], now)
+
+    stream = (
+        spark.readStream.schema(S.PAGES)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = crawl_sessions_stream(stream_extract(stream, PipelineConfig()))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("crawl_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM crawl_sessions ORDER BY lang, session_start"
+    ).collect()
+    got = {
+        (r["lang"], r["session_start"], r["session_end"]): r["n_pages"]
+        for r in rows
+    }
+    gap = datetime.timedelta(minutes=30)
+    assert got == {
+        ("de", mins(0), mins(0) + gap): 1,
+        ("en", mins(0), mins(10) + gap): 2,   # merged 0+10min pages
+        ("en", mins(120), mins(120) + gap): 1,
+    }, got
