@@ -490,3 +490,128 @@ def test_crawl_sessions_stream(spark, tmp_path):
         ("en", mins(0), mins(10) + gap): 2,   # merged 0+10min pages
         ("en", mins(120), mins(120) + gap): 1,
     }, got
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: real header parsing + resize / frame-sample / feature plumbing
+# ---------------------------------------------------------------------------
+
+def _png_bytes(w, h):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00" + b"\x00" * 8
+    )
+
+
+def _gif_bytes(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 20
+
+
+def _jpeg_bytes(w, h):
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_parse_image_dims_real_headers():
+    from dedupe_archived_files_spark.functions.multimodal import (
+        parse_image_dims,
+        sniff_format,
+    )
+
+    for blob, fmt, dims in [
+        (_png_bytes(640, 480), "png", (640, 480)),
+        (_gif_bytes(320, 200), "gif", (320, 200)),
+        (_jpeg_bytes(1920, 1080), "jpeg", (1920, 1080)),
+    ]:
+        assert sniff_format(blob) == fmt
+        assert parse_image_dims(fmt, blob) == dims
+    # truncated headers -> None (stub fallback), never an exception
+    assert parse_image_dims("png", _png_bytes(10, 10)[:12]) is None
+    assert parse_image_dims("gif", b"GIF89a\x01") is None
+    assert parse_image_dims("jpeg", b"\xff\xd8\xff") is None
+
+
+def test_extract_media_meta_header_decoded(spark):
+    from dedupe_archived_files_spark.functions.multimodal import extract_media_meta
+
+    rows = [
+        ("png", _png_bytes(640, 480)),
+        ("gif", _gif_bytes(320, 200)),
+        ("jpeg", _jpeg_bytes(1920, 1080)),
+        ("trunc", _png_bytes(9, 9)[:12]),
+        ("text", b"<html>hi</html>"),
+        ("none", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r for r in extract_media_meta(df).collect()}
+    assert (got["png"]["width"], got["png"]["height"]) == (640, 480)
+    assert (got["gif"]["width"], got["gif"]["height"]) == (320, 200)
+    assert (got["jpeg"]["width"], got["jpeg"]["height"]) == (1920, 1080)
+    assert all(got[k]["decode_status"] == "header_decoded" for k in ("png", "gif", "jpeg"))
+    assert got["trunc"]["decode_status"] == "stub_decoded"
+    assert got["text"]["decode_status"] == "not_image"
+    assert got["none"]["decode_status"] == "missing"
+
+
+def test_resize_images_geometry(spark):
+    from dedupe_archived_files_spark.functions.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [("a", _png_bytes(640, 480)), ("b", b"%PDF-1.4 not an image")],
+        "url string, html binary",
+    )
+    got = {r["url"]: r for r in resize_images(df, 224, 224).collect()}
+    a = got["a"]
+    assert (a["orig_width"], a["orig_height"]) == (640, 480)
+    assert abs(a["scale"] - 224 / 640) < 1e-9  # fit-preserving: min of ratios
+    assert a["resized"] is None and a["status"] == "stub_resample"
+    assert got["b"]["status"] == "not_image" and got["b"]["scale"] is None
+
+
+def test_sample_video_frames_cap_and_hashes(spark):
+    from hashlib import md5
+
+    from dedupe_archived_files_spark.functions.multimodal import (
+        sample_video_frames,
+    )
+
+    blob = bytes(range(256)) * 40  # 10240 bytes
+    df = spark.createDataFrame(
+        [("v", blob), ("empty", None)], "url string, html binary"
+    )
+    rows = sample_video_frames(df, stride_bytes=4096, max_frames=2).collect()
+    v = sorted(
+        (r for r in rows if r["url"] == "v"), key=lambda r: r["frame_idx"]
+    )
+    # cap enforced: 10240/4096 = 3 slices, capped at 2
+    assert len(v) == 2
+    assert [r["byte_offset"] for r in v] == [0, 4096]
+    assert v[0]["frame_md5"] == md5(blob[:4096]).hexdigest()
+    assert v[1]["n_bytes"] == 4096
+    e = [r for r in rows if r["url"] == "empty"]
+    assert len(e) == 1 and e[0]["status"] == "missing"
+
+
+def test_byte_histogram_features_real_signal(spark):
+    import numpy as np
+
+    from dedupe_archived_files_spark.functions.multimodal import (
+        byte_histogram_features,
+    )
+
+    df = spark.createDataFrame(
+        [("ascii", b"aaaabbbb"), ("uniform", bytes(range(256)))],
+        "url string, html binary",
+    )
+    got = {r["url"]: r for r in byte_histogram_features(df).collect()}
+    f = np.array(got["ascii"]["features"])
+    assert abs(f.sum() - 1.0) < 1e-9
+    assert f[ord("a")] == 0.5 and f[ord("b")] == 0.5
+    u = np.array(got["uniform"]["features"])
+    assert np.allclose(u, 1 / 256)
