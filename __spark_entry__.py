@@ -110,6 +110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": Q.asof_join_events,
         # passage-level near-dup (winnowing inverted index, MOSS shape)
         "fingerprint_overlap_near_dup": Q.fingerprint_overlap_near_dup,
+        # hierarchy reporting (ROLLUP — supplements the reference's absent
+        # grouping-sets family)
+        "corpus_rollup_stats": Q.corpus_rollup_stats,
     }
 
 
@@ -471,5 +474,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN nf na ON na.doc_id = pr.doc_id_a
             JOIN nf nb ON nb.doc_id = pr.doc_id_b
             WHERE n_shared * 1.0 / least(na.n_fp, nb.n_fp) >= 0.3
+        """,
+        # ROLLUP hierarchy: DuckDB's GROUPING() semantics match Spark's
+        # grouping(); group nulls coalesced to the same sentinel both sides
+        "corpus_rollup_stats": """
+            SELECT coalesce(lang, '<all>') AS lang,
+                   coalesce(source, '<all>') AS source,
+                   CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT)
+                     AS grouping_level,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs
+            FROM documents
+            GROUP BY ROLLUP(lang, source)
         """,
     }

@@ -1731,3 +1731,35 @@ def semantic_dedup_embeddings(
         .filter(F.col("sim") >= tau)
         .select("vec_id_a", "vec_id_b", "sim")
     )
+
+
+def corpus_rollup_stats(spark, sf_dir):
+    """Corpus reporting rollup: doc count / total chars / distinct sources at
+    every level of ROLLUP(lang, source) — per (lang, source), per lang, and
+    grand total — the one-pass hierarchy report a corpus curator reads before
+    and after a dedupe run. Spark plans ROLLUP as a single expanded
+    aggregation (one shuffle, partial aggs map-side); grouping-null levels
+    are disambiguated with explicit level markers (DuckDB's GROUPING() and
+    Spark's grouping() agree), and null-able group values are coalesced to a
+    sentinel so the driver's value hash is stable across engines."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            # grouping() must be computed inside the rollup agg itself
+            (F.grouping("lang") * 2 + F.grouping("source"))
+            .cast("long")
+            .alias("grouping_level"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.count_distinct("doc_id").cast("long").alias("n_distinct_docs"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "grouping_level",
+            "n_docs",
+            "total_chars",
+            "n_distinct_docs",
+        )
+    )
