@@ -65,7 +65,9 @@ def parse_image_dims(fmt: str | None, content: bytes) -> tuple[int, int] | None:
     Returns None when the header is truncated or malformed (callers fall
     back to the clearly-marked stub path)."""
     try:
-        if fmt == "png" and len(content) >= 24:
+        if fmt == "png" and len(content) >= 24 and content[12:16] == b"IHDR":
+            # require the IHDR chunk tag: magic + arbitrary bytes is NOT a
+            # decodable header (falls through to the stub path)
             w = int.from_bytes(content[16:20], "big")
             h = int.from_bytes(content[20:24], "big")
             return (w, h) if 0 < w and 0 < h else None
