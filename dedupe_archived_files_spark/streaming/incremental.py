@@ -209,3 +209,42 @@ def crawl_sessions_stream(pages_text_stream: DataFrame) -> DataFrame:
             "approx_distinct",
         )
     )
+
+
+def cross_crawl_dup_stream(
+    crawl_a: DataFrame, crawl_b: DataFrame, max_lag_hours: int = 24
+) -> DataFrame:
+    """Stream-stream INTERVAL join: pages from two live crawl streams with
+    identical content (full_hash) observed within ``max_lag_hours`` of each
+    other — continuous cross-crawl duplicate detection (the J1 equi-join
+    lifted to two unbounded sides).
+
+    Both sides are watermarked, and the join carries an explicit event-time
+    range constraint — the two things Spark's state-cleanup planner needs to
+    EVICT buffered rows once no future match is possible; without them a
+    stream-stream join buffers both streams forever. State per side is
+    therefore bounded by (watermark + lag window) × arrival rate, not by
+    stream length. Scale shape: state-store keyed by full_hash (the join
+    key), so skew follows viral-content hashes — the same hot keys the batch
+    blocking caps, monitored here via the lineage dup-rate windows."""
+    a = crawl_a.withWatermark("warc_ts", "2 hours").select(
+        F.col("url").alias("url_a"),
+        F.col("warc_ts").alias("ts_a"),
+        F.col("full_hash").alias("hash_a"),
+    )
+    b = crawl_b.withWatermark("warc_ts", "2 hours").select(
+        F.col("url").alias("url_b"),
+        F.col("warc_ts").alias("ts_b"),
+        F.col("full_hash").alias("hash_b"),
+    )
+    return a.join(
+        b,
+        F.expr(
+            f"""hash_a = hash_b
+                AND ts_b >= ts_a - INTERVAL {int(max_lag_hours)} HOURS
+                AND ts_b <= ts_a + INTERVAL {int(max_lag_hours)} HOURS"""
+        ),
+        "inner",
+    ).select(
+        "url_a", "url_b", F.col("hash_a").alias("full_hash"), "ts_a", "ts_b"
+    )

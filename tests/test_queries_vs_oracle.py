@@ -178,3 +178,25 @@ def test_fingerprint_overlap_cap_and_floor(spark):
     assert (out["n_shared"] >= Q.FP_MIN_SHARED).all()
     # symmetric sanity: pair orientation is canonical
     assert (out["doc_id_a"] < out["doc_id_b"]).all()
+
+
+def test_dim_join_broadcasts(spark):
+    """Plan-shape evidence for the 100-TB audit: the dimension-decoration
+    join (orders ⋈ customer) must plan as a BroadcastHashJoin — the small
+    side ships to every executor, no shuffle of the fact side on the join
+    key. At the test SFs AQE's size estimate triggers it; at production SFs
+    the same plan holds for any dim under the broadcast threshold."""
+    df = Q.left_join_coalesce_default(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_blocking_filter_pushdown(spark):
+    """Scan-shape evidence: the quick-block query's parquet scan must prune
+    to the columns it uses (doc_id, text) — a scan reading all columns for a
+    2-column projection is the wrong plan at any scale."""
+    df = Q.quick_block_verify_documents(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln or "ReadSchema" in ln]
+    txt = "\n".join(scan) or plan
+    assert "lang" not in txt and "source" not in txt, txt[:1500]

@@ -615,3 +615,61 @@ def test_byte_histogram_features_real_signal(spark):
     assert f[ord("a")] == 0.5 and f[ord("b")] == 0.5
     u = np.array(got["uniform"]["features"])
     assert np.allclose(u, 1 / 256)
+
+
+def test_cross_crawl_dup_stream(spark, tmp_path):
+    """Watermarked stream-stream interval join: identical content observed in
+    both crawl streams within the lag window matches; the same content seen
+    outside the window does NOT; distinct content never matches. (Inner
+    stream-stream joins emit as matches arrive — no watermark wait needed
+    for the positive rows; the watermark's job is state eviction.)"""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedupe_archived_files_spark.streaming.incremental import (
+        cross_crawl_dup_stream,
+    )
+
+    t0 = datetime.datetime(2025, 6, 1, 0, 0, 0)
+
+    def write_pages(d, rows):
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "url": [r[0] for r in rows],
+                "warc_ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "html": pa.array([None] * len(rows), pa.binary()),
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+            }
+        )
+        pq.write_table(tbl, str(d / "part.parquet"))
+
+    hours = lambda h: t0 + datetime.timedelta(hours=h)  # noqa: E731
+    # crawl A: content X at t0, content Y at t0
+    write_pages(tmp_path / "a", [("a1", "content X", hours(0)), ("a2", "content Y", hours(0))])
+    # crawl B: X again 1 h later (match), X again 60 h later (outside the
+    # 24 h window -> no match), Z (never matches)
+    write_pages(
+        tmp_path / "b",
+        [
+            ("b1", "content X", hours(1)),
+            ("b2", "content X", hours(60)),
+            ("b3", "content Z", hours(1)),
+        ],
+    )
+    sa = stream_extract(stream_pages(spark, str(tmp_path / "a")), PipelineConfig())
+    sb = stream_extract(stream_pages(spark, str(tmp_path / "b")), PipelineConfig())
+    q = (
+        cross_crawl_dup_stream(sa, sb, max_lag_hours=24)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cross_crawl")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT url_a, url_b FROM cross_crawl").collect()
+    assert {(r["url_a"], r["url_b"]) for r in rows} == {("a1", "b1")}
