@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": Q.lang_id_documents,
         "quality_scores_documents": Q.quality_scores_documents,
         "token_counts_documents": Q.token_counts_documents,
+        "repetition_stats_documents": Q.repetition_stats_documents,
         "doc_fingerprints": Q.doc_fingerprints,
         "human_readable_sizes": Q.human_readable_sizes,
         # relational operator family (reference joins/aggs/sorts)
@@ -259,6 +260,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(re) AS BIGINT) AS re_tokens,
                    CAST(len(list_distinct(re)) AS BIGINT) AS distinct_tokens
             FROM t
+        """,
+        # Gopher-style repetition stats: same tokenizer, same n-gram
+        # construction (1-based list indexing, range() end-exclusive), same
+        # max-count / lexicographically-greatest tie-break as the Spark
+        # max(struct(n, bg)) — and the same unrounded int64-quotient
+        # comparison discipline as the other ratio oracles
+        "repetition_stats_documents": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ),
+            tri AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                     ELSE [] END AS tg
+              FROM t
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+              FROM t WHERE len(toks) >= 2
+            ),
+            c AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+            w AS (
+              SELECT doc_id, bg, n,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY n DESC, bg DESC) AS rn,
+                     sum(n) OVER (PARTITION BY doc_id) AS n_bigrams
+              FROM c
+            ),
+            top AS (SELECT doc_id, bg, n, n_bigrams FROM w WHERE rn = 1)
+            SELECT t.doc_id,
+                   CAST(coalesce(top.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   coalesce(top.bg, '') AS top_bigram,
+                   round(coalesce(top.n * 1.0 / top.n_bigrams, 0), 4)
+                     AS top_bigram_frac,
+                   round(CASE WHEN len(tg) > 0 THEN
+                       (len(tg) - len(list_distinct(tg))) * 1.0 / len(tg)
+                     ELSE 0 END, 4) AS dup_trigram_frac
+            FROM t
+            JOIN tri USING (doc_id)
+            LEFT JOIN top USING (doc_id)
         """,
         "doc_fingerprints": """
             WITH pos AS (

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "lang_id_documents",
     "quality_scores_documents",
     "token_counts_documents",
+    "repetition_stats_documents",
     "doc_fingerprints",
     "last_writer_wins_events",
     "group_stats_documents",

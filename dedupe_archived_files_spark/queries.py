@@ -394,6 +394,78 @@ def token_counts_documents(spark, sf_dir):
     )
 
 
+def _token_ngrams(col, n: int):
+    """Token n-grams of an array<string> column as space-joined strings,
+    built JVM-side with higher-order functions (no explode, no shuffle).
+    Guarded: Spark's sequence(1, k) DESCENDS when k < 1, so short docs get an
+    explicit empty array instead of a phantom [1, 0] index walk."""
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(col) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(col, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(col) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats_documents(spark, sf_dir):
+    """Gopher-style intra-document repetition filters (Rae et al. 2021,
+    "Scaling Language Models", table A1): the fraction of the document
+    occupied by its most frequent token bigram and the fraction of token
+    trigrams that are duplicates — the standard cheap signals a training-data
+    pipeline uses to drop boilerplate / keyword-stuffed / looping pages
+    before the expensive near-dup channels run.
+
+    Scale shape: the trigram-duplicate fraction never leaves the row — token
+    arrays, n-gram construction, and array_distinct are all JVM higher-order
+    functions inside one project (no shuffle). The top-bigram mode needs a
+    per-(doc, bigram) count: explode → two-level groupBy keyed by doc_id —
+    partial map-side aggregation absorbs the explode fan-out, and both aggs
+    plus the final join share the doc_id key, so AQE plans one exchange
+    chain. Ties on the max count break to the lexicographically-greatest
+    bigram (max over a (count, bigram) struct — deterministic, mirrored in
+    the oracle's ORDER BY n DESC, bg DESC)."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", _space_tokens(F.col("text")).alias("toks"))
+    # materialize the trigram array in its own projection: it feeds size()
+    # three times and array_distinct once, and CollapseProject keeps a
+    # non-cheap multiply-referenced alias as a separate project, so the
+    # transform() runs once per row instead of four times
+    per_doc = base.select(
+        "doc_id", _token_ngrams(F.col("toks"), 3).alias("tg")
+    ).select(
+        "doc_id",
+        F.round(
+            F.when(
+                F.size("tg") > 0,
+                (F.size("tg") - F.size(F.array_distinct("tg"))) / F.size("tg"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_trigram_frac"),
+    )
+    bg_counts = (
+        base.select("doc_id", F.explode(_token_ngrams(F.col("toks"), 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+    )
+    top = bg_counts.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("n"), F.col("bg"))).alias("top"),
+        F.sum("n").alias("n_bigrams"),
+    )
+    return (
+        per_doc.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("top.bg"), F.lit("")).alias("top_bigram"),
+            F.round(
+                F.coalesce(F.col("top.n") / F.col("n_bigrams"), F.lit(0.0)), 4
+            ).alias("top_bigram_frac"),
+            "dup_trigram_frac",
+        )
+    )
+
+
 FP_K = 8   # fingerprint char-gram width
 FP_W = 4   # winnowing window
 
