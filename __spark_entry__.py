@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores_documents": Q.quality_scores_documents,
         "token_counts_documents": Q.token_counts_documents,
         "repetition_stats_documents": Q.repetition_stats_documents,
+        "dataset_split_documents": Q.dataset_split_documents,
         "doc_fingerprints": Q.doc_fingerprints,
         "human_readable_sizes": Q.human_readable_sizes,
         # relational operator family (reference joins/aggs/sorts)
@@ -260,6 +261,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(re) AS BIGINT) AS re_tokens,
                    CAST(len(list_distinct(re)) AS BIGINT) AS distinct_tokens
             FROM t
+        """,
+        # deterministic hash split: same salted-md5 60-bit-prefix bucket
+        # formula (Spark conv(substr(md5,1,15),16,10) == DuckDB
+        # CAST(concat('0x',...) AS BIGINT) — both positive, both int64)
+        "dataset_split_documents": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     CAST(concat('0x', substr(md5('split-v1:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+                       AS bucket
+              FROM documents
+            )
+            SELECT doc_id, lang, bucket,
+                   CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         # Gopher-style repetition stats: same tokenizer, same n-gram
         # construction (1-based list indexing, range() end-exclusive), same

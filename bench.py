@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "quality_scores_documents",
     "token_counts_documents",
     "repetition_stats_documents",
+    "dataset_split_documents",
     "doc_fingerprints",
     "last_writer_wins_events",
     "group_stats_documents",

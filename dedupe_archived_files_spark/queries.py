@@ -466,6 +466,52 @@ def repetition_stats_documents(spark, sf_dir):
     )
 
 
+SPLIT_SEED = "split-v1"   # version the assignment; bump to resample
+SPLIT_TRAIN, SPLIT_VAL = 90, 95   # train < 90, val < 95, test < 100
+
+
+def dataset_split_documents(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) keyed on a salted
+    md5 of the document id — the reproducible-split primitive every
+    training-data pipeline needs: membership is a pure function of
+    (seed, doc_id), so re-runs, re-shards, and incremental appends never
+    migrate a document across splits (no sampling state to persist, no
+    rand() nondeterminism across retries of a failed task — Spark re-executes
+    failed partitions, so rand()-based splits silently double-assign).
+
+    Scale shape: one narrow projection, no shuffle, no UDF — md5/conv/substr
+    are whole-stage-codegen JVM expressions; the salt decorrelates the split
+    from every other doc_id-keyed hash in the engine (bucketing, store
+    layout). The 60-bit hash prefix keeps conv() inside int64 (never
+    negative), mirroring the winnowing oracle's formula."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(SPLIT_SEED + ":"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 FP_K = 8   # fingerprint char-gram width
 FP_W = 4   # winnowing window
 

@@ -200,3 +200,38 @@ def test_blocking_filter_pushdown(spark):
     scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln or "ReadSchema" in ln]
     txt = "\n".join(scan) or plan
     assert "lang" not in txt and "source" not in txt, txt[:1500]
+
+
+def test_repetition_stats_short_doc_guards(spark, tmp_path):
+    """The n-gram builder's short-doc guard: Spark's sequence(1, k) DESCENDS
+    when k < 1, so without the size() gate a 1-token doc would walk a phantom
+    [1, 0] index list. Docs with 0/1/2 tokens must come back with empty /
+    zero stats, not nulls or crashes — and a pathological repeated-token doc
+    must score top_bigram_frac 1.0 and dup_trigram_frac near 1.0."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "",  # 0 tokens
+                "one",  # 1 token: no bigrams, no trigrams
+                "two tokens",  # 1 bigram, no trigrams
+                "a a a a a a",  # total repetition
+                "w x y z w x",  # all bigrams distinct except 'w x'
+            ],
+        }
+    )
+    d = tmp_path / "documents.parquet"
+    pdf.to_parquet(d)
+    out = (
+        Q.repetition_stats_documents(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1].tolist() == [0, "", 0.0, 0.0]
+    assert out.loc[2].tolist() == [0, "", 0.0, 0.0]
+    assert out.loc[3].tolist() == [1, "two tokens", 1.0, 0.0]
+    # "a a a a a a": 5 bigrams all "a a"; 4 trigrams, 1 distinct -> 0.75
+    assert out.loc[4].tolist() == [5, "a a", 1.0, 0.75]
+    # "w x y z w x": bigrams w x (2), x y, y z, z w -> top 2/5; trigrams all distinct
+    assert out.loc[5].tolist() == [5, "w x", 0.4, 0.0]
