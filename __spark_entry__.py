@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_documents": Q.token_counts_documents,
         "repetition_stats_documents": Q.repetition_stats_documents,
         "dataset_split_documents": Q.dataset_split_documents,
+        "decontaminate_documents": Q.decontaminate_documents,
         "doc_fingerprints": Q.doc_fingerprints,
         "human_readable_sizes": Q.human_readable_sizes,
         # relational operator family (reference joins/aggs/sorts)
@@ -261,6 +262,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(re) AS BIGINT) AS re_tokens,
                    CAST(len(list_distinct(re)) AS BIGINT) AS distinct_tokens
             FROM t
+        """,
+        # benchmark decontamination: 8-token grams built with the same
+        # 1-based / end-exclusive range() construction as the repetition
+        # oracle, hashed with the shared md5 60-bit-prefix formula; the
+        # benchmark subset (doc_id % 25 == 0) and per-position hit counting
+        # (corpus grams NOT dedup'd, benchmark grams dedup'd) mirror the
+        # Spark operator exactly
+        "decontaminate_documents": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks) - 6),
+                         i -> {" || ' ' || ".join(f"toks[i + {j}]" for j in range(8))}))
+                         AS g
+                FROM t WHERE len(toks) >= 8
+              )
+            ),
+            b AS (SELECT DISTINCT h FROM g WHERE doc_id % 25 = 0),
+            c AS (SELECT doc_id, h FROM g WHERE doc_id % 25 != 0),
+            hits AS (
+              SELECT doc_id, count(*) AS n FROM c JOIN b USING (h)
+              GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(hits.n, 0) AS BIGINT)
+                     AS n_contaminated_grams,
+                   hits.n IS NOT NULL AS contaminated
+            FROM t LEFT JOIN hits USING (doc_id)
+            WHERE t.doc_id % 25 != 0
         """,
         # deterministic hash split: same salted-md5 60-bit-prefix bucket
         # formula (Spark conv(substr(md5,1,15),16,10) == DuckDB

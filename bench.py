@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "token_counts_documents",
     "repetition_stats_documents",
     "dataset_split_documents",
+    "decontaminate_documents",
     "doc_fingerprints",
     "last_writer_wins_events",
     "group_stats_documents",

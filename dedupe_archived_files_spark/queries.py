@@ -466,6 +466,63 @@ def repetition_stats_documents(spark, sf_dir):
     )
 
 
+DECON_K = 8          # decontamination token-n-gram width
+DECON_BENCH_MOD = 25  # synthetic eval set: doc_id % 25 == 0 (deterministic)
+
+
+def decontaminate_documents(spark, sf_dir):
+    """Benchmark decontamination by exact token-n-gram overlap (the GPT-3 /
+    Llama training-data hygiene step: drop or flag any training document
+    sharing a long verbatim n-gram with an evaluation benchmark). Here the
+    "benchmark" is the deterministic doc_id % 25 == 0 subset standing in for
+    a held-out eval table; every other document is flagged with its count of
+    contaminated 8-token grams. Exact duplicates and near-duplicates of a
+    benchmark page surface with high counts; clean pages flow through with
+    contaminated = false.
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus (eval
+    suites are KBs; the corpus is TBs), so it broadcasts — the corpus-side
+    gram stream is probed map-side against the broadcast hash set with NO
+    shuffle on the join; the only exchange is the slim (doc_id, count)
+    groupBy. Grams cross the wire as 60-bit md5-prefix int64s, never as
+    strings (same discipline as the MinHash channel). The final left join
+    restores zero-hit documents; its probe side is the per-doc hit counts —
+    bounded by the corpus row count, not the gram count."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", _space_tokens(F.col("text")).alias("toks"))
+
+    def grams(df):
+        return df.select(
+            "doc_id", F.explode(_token_ngrams(F.col("toks"), DECON_K)).alias("g")
+        ).select(
+            "doc_id",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench = grams(base.filter(is_bench)).select("h").distinct()
+    corpus = grams(base.filter(~is_bench))
+    hits = (
+        corpus.join(F.broadcast(bench), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        base.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_grams"),
+            F.col("n").isNotNull().alias("contaminated"),
+        )
+    )
+
+
 SPLIT_SEED = "split-v1"   # version the assignment; bump to resample
 SPLIT_TRAIN, SPLIT_VAL = 90, 95   # train < 90, val < 95, test < 100
 

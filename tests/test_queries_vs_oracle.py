@@ -235,3 +235,44 @@ def test_repetition_stats_short_doc_guards(spark, tmp_path):
     assert out.loc[4].tolist() == [5, "a a", 1.0, 0.75]
     # "w x y z w x": bigrams w x (2), x y, y z, z w -> top 2/5; trigrams all distinct
     assert out.loc[5].tolist() == [5, "w x", 0.4, 0.0]
+
+
+def test_decontaminate_planted_overlap(spark, tmp_path):
+    """Planted contamination, independent of corpus luck: doc 0 is the
+    benchmark (doc_id % 25 == 0); doc 1 copies one verbatim 8-token run from
+    it, docs 2-3 share at most 7 consecutive tokens, doc 4 is too short to
+    gram. Only doc 1 may flag, with exactly one contaminated gram."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "a b c d e f g h i j",      # benchmark: grams a..h, b..i, c..j
+                "x a b c d e f g h y",      # contains a..h -> 1 hit
+                "p q r s t u v w x y",      # clean
+                "b c d e f g h z z z",      # 7-token overlap only -> clean
+                "a b c",                    # < 8 tokens: no grams
+            ],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        Q.decontaminate_documents(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.index.tolist() == [1, 2, 3, 4]  # benchmark row excluded
+    assert out.loc[1].tolist() == [1, True]
+    assert out.loc[2].tolist() == [0, False]
+    assert out.loc[3].tolist() == [0, False]
+    assert out.loc[4].tolist() == [0, False]
+
+
+def test_decontaminate_bench_side_broadcasts(spark):
+    """Plan-shape evidence: the benchmark gram set must reach the corpus
+    probe as a broadcast (map-side semi-join, no shuffle of the corpus gram
+    stream on the join key) — the only viable shape when the corpus is TBs
+    and the benchmark is KBs."""
+    df = Q.decontaminate_documents(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan[:2000]
