@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats_documents": Q.repetition_stats_documents,
         "dataset_split_documents": Q.dataset_split_documents,
         "decontaminate_documents": Q.decontaminate_documents,
+        "stratified_sample_documents": Q.stratified_sample_documents,
         "doc_fingerprints": Q.doc_fingerprints,
         "human_readable_sizes": Q.human_readable_sizes,
         # relational operator family (reference joins/aggs/sorts)
@@ -296,6 +297,22 @@ def oracle_sql() -> dict[str, str]:
                    hits.n IS NOT NULL AS contaminated
             FROM t LEFT JOIN hits USING (doc_id)
             WHERE t.doc_id % 25 != 0
+        """,
+        # stratified sample: same salted-md5 rank, same (hash, doc_id)
+        # tie-break, same per-lang quota (40)
+        "stratified_sample_documents": """
+            WITH h AS (
+              SELECT doc_id, lang,
+                     CAST(concat('0x', substr(md5('sample-v1:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM documents
+            )
+            SELECT doc_id, lang, sample_rank FROM (
+              SELECT doc_id, lang,
+                     CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY h, doc_id) AS BIGINT) AS sample_rank
+              FROM h
+            ) WHERE sample_rank <= 40
         """,
         # deterministic hash split: same salted-md5 60-bit-prefix bucket
         # formula (Spark conv(substr(md5,1,15),16,10) == DuckDB

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "repetition_stats_documents",
     "dataset_split_documents",
     "decontaminate_documents",
+    "stratified_sample_documents",
     "doc_fingerprints",
     "last_writer_wins_events",
     "group_stats_documents",

@@ -466,6 +466,46 @@ def repetition_stats_documents(spark, sf_dir):
     )
 
 
+SAMPLE_PER_LANG = 40   # stratified-sample quota per language
+
+
+def stratified_sample_documents(spark, sf_dir, per_group: int | None = None):
+    """Deterministic stratified sampling: the `per_group` documents per
+    language with the smallest salted-hash rank — the per-source/per-language
+    quota primitive of data-mixing recipes. Like dataset_split_documents,
+    membership is a pure function of (seed, doc_id): re-runs and appends
+    yield the same sample (a NEW doc enters only by displacing the current
+    largest hash in its group — no random state, no rand() re-execution
+    nondeterminism), and the salted hash is uniform within every group, so
+    the quota is an unbiased uniform subsample per stratum.
+
+    Scale shape: one shuffle keyed by lang, then a per-group top-k. The
+    query form uses row_number() for oracle parity; at 10^12 rows the same
+    selection runs as filter(hash < t) for a threshold t sized from the
+    group's count with a safety margin (a cheap full scan keeps ~k rows per
+    group) followed by this exact window over the tiny survivor set — the
+    two-phase form of any distributed top-k."""
+    if per_group is None:
+        per_group = SAMPLE_PER_LANG
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sample-v1:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy(F.col("h"), F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", h.alias("h"))
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= per_group)
+        .select("doc_id", "lang", "sample_rank")
+    )
+
+
 DECON_K = 8          # decontamination token-n-gram width
 DECON_BENCH_MOD = 25  # synthetic eval set: doc_id % 25 == 0 (deterministic)
 

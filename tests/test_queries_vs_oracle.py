@@ -276,3 +276,20 @@ def test_decontaminate_bench_side_broadcasts(spark):
     df = Q.decontaminate_documents(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_stratified_sample_stability_under_append(spark, tmp_path):
+    """The sample is a pure function of (seed, doc_id): removing documents
+    that were not sampled leaves the sample bit-identical, and adding a new
+    document can only displace the largest-hash member of its own group."""
+    full = Q.stratified_sample_documents(spark, SF, per_group=10).toPandas()
+    sampled_ids = set(full.doc_id)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    # drop 50 unsampled docs -> sample unchanged
+    unsampled = [i for i in docs.doc_id if i not in sampled_ids][:50]
+    docs[~docs.doc_id.isin(unsampled)].to_parquet(tmp_path / "documents.parquet")
+    again = Q.stratified_sample_documents(spark, str(tmp_path), per_group=10).toPandas()
+    pd.testing.assert_frame_equal(
+        full.sort_values(["lang", "sample_rank"]).reset_index(drop=True),
+        again.sort_values(["lang", "sample_rank"]).reset_index(drop=True),
+    )
