@@ -117,6 +117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hierarchy reporting (ROLLUP — supplements the reference's absent
         # grouping-sets family)
         "corpus_rollup_stats": Q.corpus_rollup_stats,
+        # composite curation flagship: token gate + Gopher repetition gates +
+        # benchmark decontamination + deterministic split, one cascade
+        "curate_documents": Q.curate_documents,
     }
 
 
@@ -602,5 +605,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs
             FROM documents
             GROUP BY ROLLUP(lang, source)
+        """,
+        # composite curation cascade: benchmark > low_quality > repetitive >
+        # contaminated > kept(+split). Every gate compares int64
+        # cross-products (top_n*10 > n_bg, dup_tg*50 > n_tg), never a rounded
+        # float, so engine parity holds bit-for-bit; gram hashing, benchmark
+        # membership (doc_id % 25), and the split bucket reuse the exact
+        # formulas of the component oracles above
+        "curate_documents": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ),
+            tri AS (
+              SELECT doc_id, len(toks) AS n_tokens,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                     ELSE [] END AS tg
+              FROM t
+            ),
+            trif AS (
+              SELECT doc_id, n_tokens, len(tg) AS n_tg,
+                     len(tg) - len(list_distinct(tg)) AS dup_tg
+              FROM tri
+            ),
+            bg AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+              FROM t WHERE len(toks) >= 2
+            ),
+            c AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+            top AS (SELECT doc_id, max(n) AS top_n, sum(n) AS n_bg
+                    FROM c GROUP BY doc_id),
+            g AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks) - 6),
+                         i -> {" || ' ' || ".join(f"toks[i + {j}]" for j in range(8))}))
+                         AS g
+                FROM t WHERE len(toks) >= 8
+              )
+            ),
+            b AS (SELECT DISTINCT h FROM g WHERE doc_id % 25 = 0),
+            hits AS (SELECT DISTINCT g.doc_id FROM g JOIN b USING (h)
+                     WHERE g.doc_id % 25 != 0),
+            s AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5('split-v1:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+                       AS bucket
+              FROM documents
+            ),
+            v AS (
+              SELECT trif.doc_id,
+                     CASE WHEN trif.doc_id % 25 = 0 THEN 'benchmark'
+                          WHEN trif.n_tokens < 16 THEN 'low_quality'
+                          WHEN coalesce(top.top_n, 0) * 10
+                                 > coalesce(top.n_bg, 0)
+                               OR trif.dup_tg * 50 > trif.n_tg
+                            THEN 'repetitive'
+                          WHEN hits.doc_id IS NOT NULL THEN 'contaminated'
+                          ELSE 'kept' END AS verdict,
+                     s.bucket
+              FROM trif
+              LEFT JOIN top USING (doc_id)
+              LEFT JOIN hits ON hits.doc_id = trif.doc_id
+              JOIN s ON s.doc_id = trif.doc_id
+            )
+            SELECT doc_id, verdict,
+                   CASE WHEN verdict = 'kept' THEN
+                     CASE WHEN bucket < 90 THEN 'train'
+                          WHEN bucket < 95 THEN 'val' ELSE 'test' END
+                   ELSE '' END AS split
+            FROM v
         """,
     }

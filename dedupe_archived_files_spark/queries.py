@@ -1948,6 +1948,134 @@ def semantic_dedup_embeddings(
     )
 
 
+CURATE_MIN_TOKENS = 16   # min whitespace-token gate (Gopher-style length floor)
+# Repetition gates as exact integer cross-multiplications — no float quotient
+# ever crosses an engine boundary, so parity cannot flake at the thresholds:
+#   top_bigram_frac  > 1/10  ⇔  top_n  * 10 > n_bigrams
+#   dup_trigram_frac > 1/50  ⇔  dup_tg * 50 > n_trigrams
+CURATE_TOP_BIGRAM_DEN = 10
+CURATE_DUP_TRIGRAM_DEN = 50
+
+
+def curate_documents(spark, sf_dir):
+    """The composite curation flagship: one pass that routes every document
+    to its training-data fate — the decision pipeline a corpus curator
+    actually runs, composed from the engine's own primitives (token gate,
+    Gopher repetition gates, benchmark decontamination, deterministic split):
+
+      verdict = benchmark     doc is part of the held-out eval set
+                              (doc_id % 25 == 0, the decontamination stand-in)
+              | low_quality   fewer than CURATE_MIN_TOKENS whitespace tokens
+              | repetitive    top-bigram fraction > 1/10 OR duplicate-trigram
+                              fraction > 1/50 (Rae et al. 2021, table A1)
+              | contaminated  shares ≥1 verbatim 8-token gram with the
+                              benchmark set (GPT-3 / Llama hygiene step)
+              | kept          → assigned its deterministic train/val/test
+                              split (salted-hash bucket, dataset_split rules)
+
+    Precedence is the cheap-to-expensive cascade a production pipeline uses:
+    membership and length are O(1) per row, repetition is intra-document,
+    contamination is the only cross-document check — so documents dropped by
+    an earlier gate never pay for a later one (Catalyst evaluates the CASE
+    lazily per row; at 10^12 docs the gram-explode for contamination is the
+    only non-trivial cost and it can be pre-filtered to CASE survivors).
+
+    Scale shape: ONE tokenization scan feeds all four signals. The trigram
+    stats never leave the row (JVM higher-order functions, no shuffle). The
+    bigram mode and the contamination hits are slim (doc_id, int64)-keyed
+    aggs with map-side partial combine absorbing the explode fan-out. The
+    benchmark gram set broadcasts (eval suites are KBs vs a TB corpus) so the
+    contamination probe is map-side with no join shuffle. All reassembly
+    joins share the doc_id key — AQE plans one exchange chain. The verdict
+    CASE and the split bucket are pure whole-stage-codegen projections.
+    Gates compare int64 cross-products, never rounded floats, so the oracle
+    (same CASE in DuckDB) matches bit-for-bit at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", _space_tokens(F.col("text")).alias("toks"))
+    # intra-document signals: token count + trigram-duplication, one projection
+    trif = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        _token_ngrams(F.col("toks"), 3).alias("tg"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.size("tg").alias("n_tg"),
+        (F.size("tg") - F.size(F.array_distinct("tg"))).alias("dup_tg"),
+    )
+    # bigram mode: explode → two slim doc_id-keyed aggs (map-side combine)
+    top = (
+        base.select("doc_id", F.explode(_token_ngrams(F.col("toks"), 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_n"), F.sum("n").alias("n_bg"))
+    )
+
+    # contamination: same gram/hash discipline as decontaminate_documents
+    def grams(df):
+        return df.select(
+            "doc_id", F.explode(_token_ngrams(F.col("toks"), DECON_K)).alias("g")
+        ).select(
+            "doc_id",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"),
+        )
+
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench = grams(base.filter(is_bench)).select("h").distinct()
+    hits = (
+        grams(base.filter(~is_bench))
+        .join(F.broadcast(bench), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    # deterministic split bucket (dataset_split_documents formula, same seed)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(SPLIT_SEED + ":"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    merged = (
+        trif.join(top, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .join(d.select("doc_id", bucket.alias("bucket")), "doc_id")
+    )
+    verdict = (
+        F.when(F.col("doc_id") % DECON_BENCH_MOD == 0, "benchmark")
+        .when(F.col("n_tokens") < CURATE_MIN_TOKENS, "low_quality")
+        .when(
+            (
+                F.coalesce(F.col("top_n"), F.lit(0)) * CURATE_TOP_BIGRAM_DEN
+                > F.coalesce(F.col("n_bg"), F.lit(0))
+            )
+            | (F.col("dup_tg") * CURATE_DUP_TRIGRAM_DEN > F.col("n_tg")),
+            "repetitive",
+        )
+        .when(F.col("contaminated"), "contaminated")
+        .otherwise("kept")
+    )
+    return merged.withColumn("verdict", verdict).select(
+        "doc_id",
+        "verdict",
+        F.when(
+            F.col("verdict") == "kept",
+            F.when(F.col("bucket") < SPLIT_TRAIN, "train")
+            .when(F.col("bucket") < SPLIT_VAL, "val")
+            .otherwise("test"),
+        )
+        .otherwise("")
+        .alias("split"),
+    )
+
+
 def corpus_rollup_stats(spark, sf_dir):
     """Corpus reporting rollup: doc count / total chars / distinct sources at
     every level of ROLLUP(lang, source) — per (lang, source), per lang, and

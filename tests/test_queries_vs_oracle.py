@@ -293,3 +293,26 @@ def test_stratified_sample_stability_under_append(spark, tmp_path):
         full.sort_values(["lang", "sample_rank"]).reset_index(drop=True),
         again.sort_values(["lang", "sample_rank"]).reset_index(drop=True),
     )
+
+
+def test_curate_verdict_cascade(spark):
+    """The composite curation cascade is semantically coherent at the test
+    SF: every verdict class is exercised (a fixture regression that empties a
+    class fails loudly), benchmark membership is exactly doc_id % 25 == 0
+    (precedence: nothing outranks it), split is assigned iff kept, and kept
+    splits agree row-for-row with dataset_split_documents (the composite
+    reuses its salted-hash formula, not a reimplementation)."""
+    cur = Q.curate_documents(spark, SF).toPandas()
+    assert len(cur) == 500
+    classes = set(cur.verdict)
+    assert classes == {
+        "benchmark", "low_quality", "repetitive", "contaminated", "kept"
+    }, classes
+    bench = set(cur[cur.verdict == "benchmark"].doc_id)
+    assert bench == {i for i in cur.doc_id if i % 25 == 0}
+    kept = cur[cur.verdict == "kept"]
+    assert set(kept.split) == {"train", "val", "test"}
+    assert (cur[cur.verdict != "kept"].split == "").all()
+    splits = Q.dataset_split_documents(spark, SF).toPandas()
+    merged = kept.merge(splits, on="doc_id", suffixes=("", "_ref"))
+    assert (merged.split == merged.split_ref).all()
