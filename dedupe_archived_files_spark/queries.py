@@ -303,20 +303,51 @@ def connected_components_docs(spark, sf_dir):
     """Transitive clustering: edges = same-(lang,source) pairs at Jaccard >=
     0.8; components via the engine's iterative large-star/small-star operator.
     Oracle: recursive-CTE transitive closure — validates the distributed loop
-    against a declarative fixpoint."""
+    against a declarative fixpoint.
+
+    Edge-generation shape (optimization r6, guide §2.3/§3): the all-pairs
+    form is the declared oracle-validation form, but its per-pair work is
+    minimized losslessly:
+    * token sets cross the self-join as 64-bit xxhash64 arrays (8 B/element)
+      instead of strings — Jaccard is preserved (same injective-in-practice
+      argument as the MinHash verify path, oracle-checked);
+    * |A ∪ B| is never materialized: jac >= 0.8 ⇔ 9*|A∩B| >= 4*(|A|+|B|)
+      by inclusion-exclusion — exact integer math, one array_intersect per
+      pair and no array_union allocation;
+    * size-ratio pushdown inside the join condition (jac >= 0.8 forces
+      5*min(n) >= 4*max(n)) prunes unbalanced pairs before the intersect;
+    * the featurized frame is checkpointed once — both join sides read the
+      materialized arrays instead of re-tokenizing."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", _distinct_tokens(F.col("text")).alias("toks")
     )
+    d = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("toks").alias("n"),
+        F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("th"),
+    ).localCheckpoint(eager=True)  # both self-join sides read it
     a = d.alias("a")
     b = d.alias("b")
-    jac = (
-        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-        / F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    )
     edges = (
-        a.join(b, ["lang", "source"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(jac >= 0.8)
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # two empty token sets have NULL jaccard (0/0) — never an edge
+            & (F.col("a.n") > 0)
+            # size-ratio bound: jac >= 0.8 ⇒ 5*min(n) >= 4*max(n)
+            & (F.col("a.n") * 5 >= F.col("b.n") * 4)
+            & (F.col("b.n") * 5 >= F.col("a.n") * 4),
+        )
+        # |A∩B|/(|A|+|B|-|A∩B|) >= 0.8 ⇔ 9*|A∩B| >= 4*(|A|+|B|): exact
+        # integer cross-multiplication, intersect evaluated ONCE per pair
+        .filter(
+            F.size(F.array_intersect(F.col("a.th"), F.col("b.th"))) * 9
+            >= (F.col("a.n") + F.col("b.n")) * 4
+        )
         .select(F.col("a.doc_id").alias("url_a"), F.col("b.doc_id").alias("url_b"))
     )
     labels = connected_components(edges, PipelineConfig(max_iterations=12))
