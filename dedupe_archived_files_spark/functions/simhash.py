@@ -39,18 +39,49 @@ def distinct_token_hashes(tokens_col: Column) -> Column:
 
 @F.pandas_udf(T.LongType())
 def simhash_udf(hashes: pd.Series) -> pd.Series:
-    """array<long> distinct token hashes → 60-bit simhash (numpy bit votes)."""
-    shifts = np.arange(BITS, dtype=np.uint64)
-    out = []
-    for h in hashes:
+    """array<long> distinct token hashes → 60-bit simhash (numpy bit votes).
+
+    Batch-vectorized (optimization r6, guide §4.2): instead of building a
+    per-doc (n, 60) shift matrix, all docs' hashes are concatenated per
+    ~128k-hash chunk, bits are extracted with ONE np.unpackbits pass (the
+    same uint8 trick as functions.minhash.featurize_texts), and per-doc
+    votes come from np.add.reduceat over doc boundaries. The vote rule is
+    unchanged: bit b set ⇔ sum(2*bit-1) > 0 ⇔ 2*ones > n."""
+    weights = np.uint64(1) << np.arange(BITS, dtype=np.uint64)
+    out: list = [None] * len(hashes)
+    arrs: list = []
+    idxs: list = []
+    total = 0
+
+    def flush() -> None:
+        nonlocal arrs, idxs, total
+        if not arrs:
+            return
+        flat = np.concatenate(arrs)
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        bits = np.unpackbits(
+            flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )[:, :BITS]
+        ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)  # (docs, 60)
+        sigs = ((2 * ones > lens[:, None]).astype(np.uint64) * weights[None, :]).sum(
+            axis=1
+        )
+        for i, s in zip(idxs, sigs.view(np.int64)):
+            out[i] = np.int64(s)
+        arrs, idxs, total = [], [], 0
+
+    for i, h in enumerate(hashes):
         if h is None or len(h) == 0:
-            out.append(None)
             continue
-        hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-        bits = (hv[:, None] >> shifts[None, :]) & np.uint64(1)  # (n, 60)
-        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        sig = ((votes > 0).astype(np.uint64) << shifts).sum()
-        out.append(np.int64(sig))
+        a = np.asarray(h, dtype=np.int64).view(np.uint64)
+        arrs.append(a)
+        idxs.append(i)
+        total += len(a)
+        if total >= 131072:  # bound the chunk's bit matrix to ~8 MB
+            flush()
+    flush()
     return pd.Series(out, dtype="object")
 
 

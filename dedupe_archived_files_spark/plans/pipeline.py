@@ -78,6 +78,14 @@ def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> Pipelin
             print(f"[pipeline] {name}: {_time.time() - _t0:.2f}s", flush=True)
             _t0 = _time.time()
 
+    # Scale-adaptive parallelism floor (optimization r6, guide §2.2/§6): a
+    # single-row-group parquet input scans as ONE task, which would serialize
+    # the fused extract+featurize UDF on one core; redistribute once when the
+    # input has fewer partitions than the cluster's default parallelism
+    # (identity at production scale — see queries._spread).
+    from dedupe_archived_files_spark.queries import _spread
+
+    pages = _spread(pages)
     # Stages 1+2 fused: extraction + shingling + MinHash + SimHash + title in
     # ONE Python crossing (operators.extract.extract_with_signature).
     # Stage-boundary materialization: every stage output below is consumed by
@@ -592,9 +600,11 @@ def run_pipeline_checkpointed(
     # engine's current signature-space stamp — an old-derivation checkpoint
     # (or one predating the stamp) would silently disable the simhash gate
     # and produce join-incompatible band keys.
+    from dedupe_archived_files_spark.queries import _spread
+
     pages_text = store.resume_or_compute(
         "pages_text",
-        lambda: extract_with_signature(pages, cfg),
+        lambda: extract_with_signature(_spread(pages), cfg),
         key_col="full_hash",
         require_sig_space=True,
         # bucketed layout (url-hash directory buckets) so later incremental

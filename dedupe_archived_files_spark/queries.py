@@ -19,8 +19,6 @@ from pyspark.sql import functions as F
 from dedupe_archived_files_spark.config import PipelineConfig
 from dedupe_archived_files_spark.functions.minhash import (
     band_keys,
-    estimated_jaccard,
-    jaccard,
     make_minhash_udf,
 )
 from dedupe_archived_files_spark.functions.simhash import (
@@ -34,6 +32,25 @@ from dedupe_archived_files_spark.operators.clustering import connected_component
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-ADAPTIVE parallelism floor before expensive per-row work
+    (optimization r6, guide §2.2/§6): a parquet file is splittable only at
+    row-group granularity, so a single-row-group table (every test SF up to
+    sf1.0 — 50k-row files are one ~128k-row default row group) scans as ONE
+    task and serializes every downstream tokenizer / md5 chain / Arrow UDF
+    on one core no matter the cluster size. When the scan has fewer
+    partitions than the cluster's default parallelism, redistribute once —
+    AFTER column pruning (callers project first, so only the needed columns
+    shuffle) and BEFORE the per-row work. At production scale the input has
+    >= cores splits and this is the identity — no constant tuned to either
+    environment (the alternative, spark.sql.files.minPartitionNum, cannot
+    split below one row group, so it does nothing here)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _space_tokens(col):
@@ -161,17 +178,22 @@ def minhash_lsh_near_dup(spark, sf_dir):
     * distinct() on the pair before the feature join so each pair is verified
       once no matter how many bands it collides in."""
     cfg = PipelineConfig(minhash_perms=126, lsh_bands=21)
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "lang", "text")).select(
         "doc_id", "lang", _distinct_tokens(F.col("text")).alias("toks")
     )
-    d = d.withColumn(
-        "tok_hashes", F.array_sort(F.transform(F.col("toks"), lambda t: F.xxhash64(t)))
-    )
+    # SLIM checkpoint (optimization r6, guide §2.3): only (doc_id, lang,
+    # n_toks, int64 hash array) is materialized — the distinct-token STRING
+    # arrays (the fattest column) never pin, and the array_sort is dropped
+    # (nothing downstream is order-sensitive: the k-permutation min and the
+    # set-intersect verify are both order-free).
+    d = d.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_toks"),
+        F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("tok_hashes"),
+    ).localCheckpoint(eager=True)  # eager: consumed by bands AND the verify join (lazy pins double-compute under AQE concurrent subqueries)
     minhash = make_minhash_udf(cfg.minhash_perms)
-    d = d.localCheckpoint(eager=True)  # eager: consumed by bands AND the verify join (lazy pins double-compute under AQE concurrent subqueries)
-    sig = d.withColumn("signature", minhash(F.col("tok_hashes"))).withColumn(
-        "n_toks", F.size("toks")
-    )
+    sig = d.withColumn("signature", minhash(F.col("tok_hashes")))
     # SLIM band rows: the self-join shuffles only (doc_id, lang, n_toks,
     # band_key) — signatures/token arrays never ride through the band join.
     # Pinned: both join sides read it.
@@ -190,6 +212,9 @@ def minhash_lsh_near_dup(spark, sf_dir):
             (F.col("x.lang") == F.col("y.lang"))
             & (F.col("x.band_key") == F.col("y.band_key"))
             & (F.col("x.doc_id") < F.col("y.doc_id"))
+            # empty token sets have NULL jaccard (0/0) — never candidates
+            # (their NULL signature still yields constant band keys)
+            & (F.col("x.n_toks") > 0)
             # size-ratio bound: jac >= tau ⇒ min(n)/max(n) >= tau
             & (F.col("x.n_toks") * 10 >= F.col("y.n_toks") * 9)
             & (F.col("y.n_toks") * 10 >= F.col("x.n_toks") * 9),
@@ -198,13 +223,43 @@ def minhash_lsh_near_dup(spark, sf_dir):
         .distinct()
     )
     # verify on 64-bit token-hash sets (8 B/element vs ~10 B strings; Jaccard
-    # is preserved — the 64-bit hash is injective in practice on this scale)
-    feats = d.select("doc_id", F.col("tok_hashes").alias("th"))
+    # is preserved — the 64-bit hash is injective in practice on this scale).
+    # No array_union (optimization r6): |A∪B| = na+nb-|A∩B| by inclusion-
+    # exclusion, and the threshold is the exact integer cross-multiplication
+    # 19*|A∩B| >= 9*(na+nb) ⇔ jac >= 0.9 — one array_intersect per pair.
+    # (Empty/null token sets never reach here: their signature is NULL, so
+    # they emit no band rows.)
+    feats = d.select("doc_id", F.col("n_toks").alias("nt"), F.col("tok_hashes").alias("th"))
     verified = (
-        cand.join(feats.select(F.col("doc_id").alias("doc_id_a"), F.col("th").alias("ta")), "doc_id_a")
-        .join(feats.select(F.col("doc_id").alias("doc_id_b"), F.col("th").alias("tb")), "doc_id_b")
-        .withColumn("jac", jaccard(F.col("ta"), F.col("tb")))
-        .filter(F.col("jac") >= TAU)
+        cand.join(
+            feats.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("nt").alias("na"),
+                F.col("th").alias("ta"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            feats.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("nt").alias("nb"),
+                F.col("th").alias("tb"),
+            ),
+            "doc_id_b",
+        )
+        # separate projection: `i` is multiply-referenced below, so
+        # CollapseProject keeps it materialized once per pair
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect(F.col("ta"), F.col("tb"))).alias("i"),
+        )
+        .filter(F.col("i") * 19 >= (F.col("na") + F.col("nb")) * 9)
+        .withColumn(
+            "jac", F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+        )
     )
     return verified.select("doc_id_a", "doc_id_b", F.round("jac", 4).alias("jac"))
 
@@ -214,13 +269,21 @@ HAMMING_MAX = 10
 
 def simhash_hamming_pairs(spark, sf_dir):
     """SimHash near-dup channel: 60-bit fingerprints (frozen md5-vote formula,
-    functions.simhash), pairs within the (lang, source) block at Hamming <= 10."""
-    d = _t(spark, sf_dir, "documents").select(
+    functions.simhash), pairs within the (lang, source) block at Hamming <= 10.
+
+    Checkpointed before the self-join (optimization r6, guide §4.4/§2.4): the
+    unpinned form evaluated the fingerprint UDF on BOTH join sides and the
+    optimizer additionally duplicated the Python node under pushed filters —
+    8 ArrowEvalPython nodes in the round-5 plan; the pinned form runs the
+    md5 token hashing + bit-vote UDF exactly once."""
+    d = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    ).select(
         "doc_id",
         "lang",
         "source",
         simhash_udf(distinct_token_hashes(_space_tokens(F.col("text")))).alias("sh"),
-    )
+    ).localCheckpoint(eager=True)
     a = d.alias("a")
     b = d.alias("b")
     return (
@@ -255,7 +318,9 @@ def simhash_banded_near_dup(spark, sf_dir):
     shuffles 12 slim rows per doc and pairs only within chunk buckets
     (expected bucket fanout n/2^bits per chunk), the same
     explode-on-band-key shape as the MinHash path."""
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    ).select(
         "doc_id",
         "lang",
         "source",
@@ -318,7 +383,9 @@ def connected_components_docs(spark, sf_dir):
       5*min(n) >= 4*max(n)) prunes unbalanced pairs before the intersect;
     * the featurized frame is checkpointed once — both join sides read the
       materialized arrays instead of re-tokenizing."""
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    ).select(
         "doc_id", "lang", "source", _distinct_tokens(F.col("text")).alias("toks")
     )
     d = d.select(
@@ -371,7 +438,7 @@ LANG_MARKERS = {
 
 def lang_id_documents(spark, sf_dir):
     """Marker-token language-ID heuristic with a deterministic argmax chain."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = _space_tokens(F.col("text"))
     d = d.withColumn("toks", toks)
     def _score(words):
@@ -395,7 +462,7 @@ def lang_id_documents(spark, sf_dir):
 
 
 def quality_scores_documents(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     n_char = F.length("text")
     toks = _space_tokens(F.col("text"))
     n_tok = F.size(toks)
@@ -412,7 +479,7 @@ def quality_scores_documents(spark, sf_dir):
 
 
 def token_counts_documents(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     ws = F.size(_space_tokens(F.col("text")))
     re_toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+", -1), lambda t: t != F.lit("")
@@ -439,6 +506,37 @@ def _token_ngrams(col, n: int):
     )
 
 
+def _top_run(bg_sorted):
+    """(max duplicate-run count, lexicographically-greatest tied value) over
+    a SORTED string array, via one run-length fold (optimization r6, guide
+    §2.4): equal bigrams are adjacent after array_sort, so the per-doc mode
+    is a single JVM aggregate() scan carrying (prev, run, best_n, best_bg) —
+    the shuffle-free replacement for explode → groupBy(doc, bg) →
+    groupBy(doc) → join. Tie-break matches the oracle's ORDER BY n DESC,
+    bg DESC: scanning ascending, a later (greater) value displaces an equal
+    count via the >= update."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_n"),
+        F.lit("").alias("best_bg"),
+    )
+
+    def step(s, x):
+        run = F.when(x == s.prev, s.run + F.lit(1).cast("long")).otherwise(
+            F.lit(1).cast("long")
+        )
+        upd = run >= s.best_n
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(upd, run).otherwise(s.best_n).alias("best_n"),
+            F.when(upd, x).otherwise(s.best_bg).alias("best_bg"),
+        )
+
+    return F.aggregate(bg_sorted, zero, step)
+
+
 def repetition_stats_documents(spark, sf_dir):
     """Gopher-style intra-document repetition filters (Rae et al. 2021,
     "Scaling Language Models", table A1): the fraction of the document
@@ -456,41 +554,44 @@ def repetition_stats_documents(spark, sf_dir):
     chain. Ties on the max count break to the lexicographically-greatest
     bigram (max over a (count, bigram) struct — deterministic, mirrored in
     the oracle's ORDER BY n DESC, bg DESC)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     base = d.select("doc_id", _space_tokens(F.col("text")).alias("toks"))
-    # materialize the trigram array in its own projection: it feeds size()
-    # three times and array_distinct once, and CollapseProject keeps a
-    # non-cheap multiply-referenced alias as a separate project, so the
-    # transform() runs once per row instead of four times
-    per_doc = base.select(
-        "doc_id", _token_ngrams(F.col("toks"), 3).alias("tg")
-    ).select(
-        "doc_id",
-        F.round(
-            F.when(
-                F.size("tg") > 0,
-                (F.size("tg") - F.size(F.array_distinct("tg"))) / F.size("tg"),
-            ).otherwise(F.lit(0.0)),
-            4,
-        ).alias("dup_trigram_frac"),
-    )
-    bg_counts = (
-        base.select("doc_id", F.explode(_token_ngrams(F.col("toks"), 2)).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("n"))
-    )
-    top = bg_counts.groupBy("doc_id").agg(
-        F.max(F.struct(F.col("n"), F.col("bg"))).alias("top"),
-        F.sum("n").alias("n_bigrams"),
-    )
+    # Fully row-local form (optimization r6, guide §2.4): the round-5 plan
+    # shipped every bigram through explode → groupBy(doc, bg) →
+    # groupBy(doc) → join (three exchanges); the mode of a per-doc array
+    # needs no shuffle at all — sort the bigrams in-row and take the longest
+    # run (_top_run). Both n-gram arrays are materialized in their own
+    # projection (multiply-referenced non-cheap aliases stay un-collapsed, so
+    # each transform() runs once per row).
     return (
-        per_doc.join(top, "doc_id", "left")
+        base.select(
+            "doc_id",
+            _token_ngrams(F.col("toks"), 3).alias("tg"),
+            F.array_sort(_token_ngrams(F.col("toks"), 2)).alias("bg"),
+        )
         .select(
             "doc_id",
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-            F.coalesce(F.col("top.bg"), F.lit("")).alias("top_bigram"),
+            F.size("bg").cast("long").alias("n_bigrams"),
+            _top_run(F.col("bg")).alias("top"),
             F.round(
-                F.coalesce(F.col("top.n") / F.col("n_bigrams"), F.lit(0.0)), 4
+                F.when(
+                    F.size("tg") > 0,
+                    (F.size("tg") - F.size(F.array_distinct("tg"))) / F.size("tg"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_trigram_frac"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("top.best_bg").alias("top_bigram"),
+            # n_bigrams > 0 guard: ANSI mode (Spark 4 default) errors on 0/0,
+            # where the old left-join form produced NULL → coalesce(0)
+            F.round(
+                F.when(
+                    F.col("n_bigrams") > 0, F.col("top.best_n") / F.col("n_bigrams")
+                ).otherwise(F.lit(0.0)),
+                4,
             ).alias("top_bigram_frac"),
             "dup_trigram_frac",
         )
@@ -559,7 +660,7 @@ def decontaminate_documents(spark, sf_dir):
     strings (same discipline as the MinHash channel). The final left join
     restores zero-hit documents; its probe side is the per-doc hit counts —
     bounded by the corpus row count, not the gram count."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     base = d.select("doc_id", _space_tokens(F.col("text")).alias("toks"))
 
     def grams(df):
@@ -644,6 +745,47 @@ FP_K = 8   # fingerprint char-gram width
 FP_W = 4   # winnowing window
 
 
+def _gram_hashes(t: str, k: int):
+    """int64 md5-prefix hashes of every k-char gram of ``t`` — the frozen
+    oracle formula ``int(md5(gram).hexdigest()[:15], 16)``. The first 15 hex
+    chars are exactly the top 60 bits of the digest, so the value is computed
+    as ``int.from_bytes(digest[:8], 'big') >> 4`` (identical result, no hex
+    string round-trip), and pure-ASCII text takes a zero-copy memoryview
+    byte-slice fast path (byte slices == char slices when every char is one
+    byte). Measured ~1.5x per-doc vs the hexdigest form (optimization r6,
+    guide §4.2); equivalence is unit-tested including non-ASCII fallback."""
+    import numpy as np
+
+    tb = t.encode("utf-8")
+    n = len(t) - k + 1
+    if len(tb) == len(t):  # ASCII fast path
+        mv = memoryview(tb)
+        it = (
+            int.from_bytes(_fp_md5(mv[i : i + k]).digest()[:8], "big") >> 4
+            for i in range(n)
+        )
+    else:
+        it = (
+            int.from_bytes(_fp_md5(t[i : i + k].encode("utf-8")).digest()[:8], "big") >> 4
+            for i in range(n)
+        )
+    return np.fromiter(it, dtype=np.int64, count=n)
+
+
+def _window_mins(hs, w: int):
+    """Sliding min over [i, i+w-1], window truncating at the tail — identical
+    to ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING."""
+    import numpy as np
+
+    m = hs.copy()
+    for s in range(1, w):
+        np.minimum(m[:-s], hs[s:], out=m[:-s])
+    return m
+
+
+from hashlib import md5 as _fp_md5  # noqa: E402  (shared by the winnowing UDFs)
+
+
 def doc_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints: md5-derived hashes of 8-char grams,
     min per 4-gram window, distinct mins = the fingerprint set. Emits count +
@@ -656,8 +798,6 @@ def doc_fingerprints(spark, sf_dir):
     descending F.sequence positions for texts shorter than the gram width
     (spurious rows the oracle's WHERE length>=8 excludes). Docs shorter than
     FP_K chars yield no fingerprint row, matching the oracle exactly."""
-    from hashlib import md5 as _md5
-
     import numpy as np
     from pyspark.sql import types as T
 
@@ -679,26 +819,20 @@ def doc_fingerprints(spark, sf_dir):
                 ck_out.append(None)
                 continue
             # h[i] = int64 of the first 15 hex chars of md5(gram_i) — the
-            # exact formula of the DuckDB oracle (and Spark's conv/substring
-            # twin it replaced)
-            hs = np.fromiter(
-                (
-                    int(_md5(t[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
-                    for i in range(len(t) - k + 1)
-                ),
-                dtype=np.int64,
-                count=len(t) - k + 1,
-            )
-            # sliding min over [i, i+w-1], window truncating at the tail —
-            # identical to ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING
-            m = hs.copy()
-            for s in range(1, w):
-                np.minimum(m[:-s], hs[s:], out=m[:-s])
+            # exact oracle formula, via the digest-prefix fast path
+            m = _window_mins(_gram_hashes(t, k), w)
             n_out.append(int(np.unique(m).size))
             ck_out.append(int((m % 1_000_000_007).sum()))
         return pd.DataFrame({"n_fp": n_out, "fp_checksum": ck_out})
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # asNondeterministic (guide §4.4): the not-null filter on the UDF's
+    # struct output plus the two field extractions otherwise duplicate the
+    # ArrowEvalPython node — the round-5 plan evaluated the winnowing pass
+    # FOUR times per row; this pins it to one evaluation (the function is in
+    # fact deterministic — the marker only stops optimizer duplication).
+    winnow = winnow.asNondeterministic()
+
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return (
         d.withColumn("_fp", winnow(F.col("text")))
         .filter(F.col("_fp.n_fp").isNotNull())
@@ -1525,8 +1659,12 @@ def embedding_cosine_near_dup(spark, sf_dir):
     query is the exact, fully oracle-checked form."""
     import numpy as np
 
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    e = _spread(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
     )
 
     @F.pandas_udf("double")
@@ -1559,7 +1697,7 @@ def multimodal_binary_meta(spark, sf_dir):
     """Multimodal plumbing: treat content as opaque binary + typed metadata
     (byte length, content hash, format sniff). Real decode is stubbed
     (functions.multimodal) — the schema/UDF plumbing is the tested part."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     blob = F.encode(F.col("text"), "UTF-8")
     return d.select(
         "doc_id",
@@ -1746,8 +1884,6 @@ def fingerprint_overlap_near_dup(spark, sf_dir):
     applies the identical cap, so outputs match exactly at any scale.
     """
     import numpy as np
-    from hashlib import md5 as _md5
-
     from pyspark.sql import types as T
 
     k, w = FP_K, FP_W
@@ -1759,24 +1895,21 @@ def fingerprint_overlap_near_dup(spark, sf_dir):
             if t is None or len(t) < k:
                 out.append(None)
                 continue
-            hs = np.fromiter(
-                (
-                    int(_md5(t[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
-                    for i in range(len(t) - k + 1)
-                ),
-                dtype=np.int64,
-                count=len(t) - k + 1,
-            )
-            m = hs.copy()
-            for s in range(1, w):
-                np.minimum(m[:-s], hs[s:], out=m[:-s])
-            out.append(np.unique(m).tolist())
-        return pd.Series(out)
+            # ndarray, not .tolist(): pyarrow buffer-copies int64 ndarrays
+            # into the Arrow result (same rationale as featurize_texts)
+            out.append(np.unique(_window_mins(_gram_hashes(t, k), w)))
+        return pd.Series(out, dtype="object")
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    # Eager pin of the slim (doc_id, fp) inverted index (optimization r6):
+    # FIVE downstream subtrees consume it (doc-frequency agg, the semi-join
+    # prune, the per-doc count, and both sides of the pair join) — unpinned,
+    # each re-ran the winnowing UDF, 16 ArrowEvalPython nodes / 44 exchanges
+    # in the round-5 plan. One UDF pass, everything else reads 16-byte rows.
     fps = (
         d.withColumn("fp", F.explode(winnow_set(F.col("text"))))
         .select("doc_id", "fp")
+        .localCheckpoint(eager=True)
     )
     # boilerplate cap: fingerprint doc-frequency computed on a slim
     # (long, long) shuffle, then left-semi pruned before the pair join
@@ -1910,8 +2043,10 @@ def semantic_dedup_embeddings(
             f"sub-quantizer (embedding_ann_ivf2's _train_cell shape) to "
             f"restore bounded occupancy"
         )
-    e = raw.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    e = _spread(
+        raw.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
     )
     sample_n = min(n, max(8 * k, 2048), IVF_TRAIN_SAMPLE)
     srows = sorted(
@@ -1940,29 +2075,34 @@ def semantic_dedup_embeddings(
             {"cells": list(order[:, :m].astype(np.int64)), "nrm": nrm}
         )
 
+    # Slim-pair shape (optimization r6, guide §2.3/§8): candidate generation
+    # and the pair-distinct shuffle carry ONLY (vec_id, cell) / id pairs —
+    # the 64-double vectors previously rode through the self-join AND the
+    # dropDuplicates exchange (~1 KB/row both ways). Vectors are attached
+    # AFTER distinct, from the one checkpointed assign pass, so the verify
+    # arithmetic (same einsum, same rounding) sees identical inputs and the
+    # output is bit-identical.
     b = (
         e.withColumn("_a", assign_udf("v"))
         .select(
             "vec_id",
             "v",
-            F.explode(F.col("_a.cells")).alias("cell"),
+            F.col("_a.cells").alias("cells"),
             F.col("_a.nrm").alias("nrm"),
         )
+        .localCheckpoint(eager=True)  # feeds band explode AND both attaches
     )
-    a, c = b.alias("a"), b.alias("b")
+    bands = b.select("vec_id", F.explode("cells").alias("cell"))
+    a, c = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(c, "cell")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_id_a"),
             F.col("b.vec_id").alias("vec_id_b"),
-            F.col("a.v").alias("av"),
-            F.col("b.v").alias("bv"),
-            F.col("a.nrm").alias("an"),
-            F.col("b.nrm").alias("bn"),
         )
         # a pair sharing BOTH multi-assigned cells arrives twice; verify once
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
+        .distinct()
     )
 
     @F.pandas_udf("double")
@@ -1972,8 +2112,16 @@ def semantic_dedup_embeddings(
         num = np.einsum("ij,ij->i", A, B)
         return pd.Series(num / (an.to_numpy() * bn.to_numpy()))
 
+    fa = b.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    fb = b.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    )
     return (
-        cand.withColumn("sim", F.round(pair_cos("av", "bv", "an", "bn"), 4))
+        cand.join(fa, "vec_id_a")
+        .join(fb, "vec_id_b")
+        .withColumn("sim", F.round(pair_cos("av", "bv", "an", "bn"), 4))
         .filter(F.col("sim") >= tau)
         .select("vec_id_a", "vec_id_b", "sim")
     )
@@ -2022,7 +2170,9 @@ def curate_documents(spark, sf_dir):
     Gates compare int64 cross-products, never rounded floats, so the oracle
     (same CASE in DuckDB) matches bit-for-bit at any scale."""
     d = _t(spark, sf_dir, "documents")
-    base = d.select("doc_id", _space_tokens(F.col("text")).alias("toks"))
+    base = _spread(d.select("doc_id", "text")).select(
+        "doc_id", _space_tokens(F.col("text")).alias("toks")
+    )
     # intra-document signals: token count + trigram-duplication, one projection
     trif = base.select(
         "doc_id",
@@ -2034,13 +2184,14 @@ def curate_documents(spark, sf_dir):
         F.size("tg").alias("n_tg"),
         (F.size("tg") - F.size(F.array_distinct("tg"))).alias("dup_tg"),
     )
-    # bigram mode: explode → two slim doc_id-keyed aggs (map-side combine)
-    top = (
-        base.select("doc_id", F.explode(_token_ngrams(F.col("toks"), 2)).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("n"))
-        .groupBy("doc_id")
-        .agg(F.max("n").alias("top_n"), F.sum("n").alias("n_bg"))
+    # bigram mode: row-local run-length fold over the sorted array (same
+    # shuffle-free form as repetition_stats_documents, optimization r6)
+    top = base.select(
+        "doc_id", F.array_sort(_token_ngrams(F.col("toks"), 2)).alias("bg")
+    ).select(
+        "doc_id",
+        _top_run(F.col("bg")).getField("best_n").alias("top_n"),
+        F.size("bg").cast("long").alias("n_bg"),
     )
 
     # contamination: same gram/hash discipline as decontaminate_documents
