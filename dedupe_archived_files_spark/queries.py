@@ -68,17 +68,24 @@ def _distinct_tokens(col):
 
 def exact_dup_groups_events(spark, sf_dir):
     """J1+A1 on real repeated content: events.props groups sharing identical
-    bytes; canonical = min id (deterministic A6)."""
+    bytes; canonical = min id (deterministic A6).
+
+    Grouped by the md5 CONTENT HASH, not the raw props payload (optimization
+    r6, guide §2.3): the aggregation's hash tables and its shuffle then
+    carry a fixed 32-char key instead of an arbitrary-size body — the
+    content-addressing trick every exact-dedup tier here uses (md5 equality
+    ⇔ byte equality at any realistic corpus size, and the oracle's GROUP BY
+    props partitions identically)."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.groupBy("props")
+        ev.select(
+            F.md5(F.encode(F.col("props"), "UTF-8")).alias("content_hash"),
+            "event_id",
+        )
+        .groupBy("content_hash")
         .agg(F.count("*").alias("n_copies"), F.min("event_id").alias("canonical_id"))
         .filter(F.col("n_copies") >= 2)
-        .select(
-            F.md5(F.encode(F.col("props"), "UTF-8")).alias("content_hash"),
-            "n_copies",
-            "canonical_id",
-        )
+        .select("content_hash", "n_copies", "canonical_id")
     )
 
 
@@ -206,22 +213,42 @@ def minhash_lsh_near_dup(spark, sf_dir):
         ).alias("band_key"),
     ).localCheckpoint(eager=True)
     x, y = bands.alias("x"), bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.lang") == F.col("y.lang"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id"))
-            # empty token sets have NULL jaccard (0/0) — never candidates
-            # (their NULL signature still yields constant band keys)
-            & (F.col("x.n_toks") > 0)
-            # size-ratio bound: jac >= tau ⇒ min(n)/max(n) >= tau
-            & (F.col("x.n_toks") * 10 >= F.col("y.n_toks") * 9)
-            & (F.col("y.n_toks") * 10 >= F.col("x.n_toks") * 9),
+    raw_pairs = x.join(
+        y,
+        (F.col("x.lang") == F.col("y.lang"))
+        & (F.col("x.band_key") == F.col("y.band_key"))
+        & (F.col("x.doc_id") < F.col("y.doc_id"))
+        # empty token sets have NULL jaccard (0/0) — never candidates
+        # (their NULL signature still yields constant band keys)
+        & (F.col("x.n_toks") > 0)
+        # size-ratio bound: jac >= tau ⇒ min(n)/max(n) >= tau
+        & (F.col("x.n_toks") * 10 >= F.col("y.n_toks") * 9)
+        & (F.col("y.n_toks") * 10 >= F.col("x.n_toks") * 9),
+    ).select(F.col("x.doc_id").alias("doc_id_a"), F.col("y.doc_id").alias("doc_id_b"))
+    # Pair-distinct on ONE packed long when both ids fit 32 bits
+    # (optimization r6, guide §2.3 "narrower types"): a pair colliding in k
+    # bands reaches this dedup k times (measured sf1.0: 684M raw rows → 89M
+    # distinct pairs), so the distinct shuffle is the query's biggest
+    # exchange — packing (a << 32 | b) halves its bytes. Adaptive: falls
+    # back to the two-column distinct when ids exceed 32 bits.
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.greatest(F.max("doc_id"), F.lit(0)).alias("mx"),
+        F.least(F.min("doc_id"), F.lit(0)).alias("mn"),
+    ).collect()[0]
+    if 0 <= stats["mn"] and stats["mx"] < (1 << 31):
+        cand = (
+            raw_pairs.select(
+                (F.shiftleft(F.col("doc_id_a"), 32) + F.col("doc_id_b")).alias("pk")
+            )
+            .distinct()
+            .select(
+                F.shiftright(F.col("pk"), 32).alias("doc_id_a"),
+                F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("doc_id_b"),
+            )
         )
-        .select(F.col("x.doc_id").alias("doc_id_a"), F.col("y.doc_id").alias("doc_id_b"))
-        .distinct()
-    )
+    else:
+        cand = raw_pairs.distinct()
     # verify on 64-bit token-hash sets (8 B/element vs ~10 B strings; Jaccard
     # is preserved — the 64-bit hash is injective in practice on this scale).
     # No array_union (optimization r6): |A∪B| = na+nb-|A∩B| by inclusion-
@@ -229,7 +256,16 @@ def minhash_lsh_near_dup(spark, sf_dir):
     # 19*|A∩B| >= 9*(na+nb) ⇔ jac >= 0.9 — one array_intersect per pair.
     # (Empty/null token sets never reach here: their signature is NULL, so
     # they emit no band rows.)
+    # Broadcast the per-doc feature table into the attach joins when it fits
+    # (guide §3.1: checkpointed inputs carry no size statistics, so the
+    # planner would otherwise shuffle the CANDIDATE side — tens of millions
+    # of rows at sf1.0 — by doc_id twice; the feature side is n_docs × ~2 KB
+    # and ships once to every executor instead). Scale-adaptive: beyond
+    # ~250k docs (~500 MB) the hint is dropped and the planner's shuffled
+    # join takes over.
     feats = d.select("doc_id", F.col("n_toks").alias("nt"), F.col("tok_hashes").alias("th"))
+    if stats["n_docs"] <= 250_000:
+        feats = F.broadcast(feats)
     verified = (
         cand.join(
             feats.select(
@@ -326,7 +362,7 @@ def simhash_banded_near_dup(spark, sf_dir):
         "source",
         simhash_udf(distinct_token_hashes(_space_tokens(F.col("text")))).alias("sh"),
     )
-    d = d.localCheckpoint(eager=True)  # eager: consumed by the band explode AND verify
+    d = d.localCheckpoint(eager=True)  # eager: both self-join sides read it
     mask = (1 << SIMHASH_CHUNK_BITS) - 1
     chunks = F.array(
         *[
@@ -337,11 +373,30 @@ def simhash_banded_near_dup(spark, sf_dir):
             for i in range(SIMHASH_CHUNKS)
         ]
     )
-    bands = d.select("doc_id", "lang", "source", F.explode(chunks).alias("c")).select(
-        "doc_id", "lang", "source", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    # Band rows carry the full 60-bit fingerprint (8 B) alongside each chunk
+    # (optimization r6): the Hamming verify then happens INSIDE the band
+    # join's output — no pair-distinct shuffle and no re-attach joins.
+    # First-collision dedup: chunk j of two fingerprints agrees iff 5-bit
+    # group j of (sh_a XOR sh_b) is zero, so a pair is emitted only from the
+    # FIRST agreeing chunk — exactly one row per qualifying pair, computed
+    # from the XOR the Hamming gate needs anyway. Identical output to the
+    # distinct-then-verify form (same oracle, J2-superset invariant intact).
+    bands = d.select("doc_id", "lang", "source", "sh", F.explode(chunks).alias("c")).select(
+        "doc_id", "lang", "source", "sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
     )
     x, y = bands.alias("x"), bands.alias("y")
-    cand = (
+    xor = F.col("x.sh").bitwiseXOR(F.col("y.sh"))
+    # WHEN chain, not an array build: evaluated once per raw joined pair, so
+    # it must stay inside whole-stage codegen (no per-row array allocation)
+    first_agree = F.when(
+        xor.bitwiseAND(F.lit(mask)) == 0, F.lit(0)
+    )
+    for i in range(1, SIMHASH_CHUNKS):
+        first_agree = first_agree.when(
+            F.shiftright(xor, i * SIMHASH_CHUNK_BITS).bitwiseAND(F.lit(mask)) == 0,
+            F.lit(i),
+        )
+    return (
         x.join(
             y,
             (F.col("x.lang") == F.col("y.lang"))
@@ -350,17 +405,14 @@ def simhash_banded_near_dup(spark, sf_dir):
             & (F.col("x.cv") == F.col("y.cv"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(F.col("x.doc_id").alias("doc_id_a"), F.col("y.doc_id").alias("doc_id_b"))
-        .distinct()
-    )
-    fa = d.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
-    fb = d.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(fa, "doc_id_a")
-        .join(fb, "doc_id_b")
-        .withColumn("hamming", hamming(F.col("sh_a"), F.col("sh_b")).cast("long"))
+        .filter(first_agree == F.col("x.ci"))
+        .withColumn("hamming", hamming(F.col("x.sh"), F.col("y.sh")).cast("long"))
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .select("doc_id_a", "doc_id_b", "hamming")
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+            "hamming",
+        )
     )
 
 
@@ -1653,10 +1705,22 @@ def embedding_cosine_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate channel: same-`label` vector pairs with
     cosine >= COSINE_TAU — the embedding analogue of the blocked
     pairwise-verify dedup shape (block on a cheap key, verify with the exact
-    metric). Verification is one batched numpy einsum per Arrow batch (dots
-    and norms in C — no per-pair interpreted folds). At corpus scale the
-    label block is replaced by the sign-LSH tables of embedding_ann_lsh; this
-    query is the exact, fully oracle-checked form."""
+    metric). At corpus scale the label block is replaced by the sign-LSH
+    tables of embedding_ann_lsh; this query is the exact, fully
+    oracle-checked form.
+
+    Group-matmul verification (optimization r6, guide §4.2/§8): the round-5
+    plan materialized every same-label PAIR row with BOTH 64-double vectors
+    and shipped them through the Python boundary (~1 KB x n²/2 per label —
+    20 GB of Arrow traffic at sf1.0's 20M pairs). Each vector now crosses
+    ONCE: one applyInPandas per label computes the full pairwise cosine
+    matrix with a single BLAS matmul per group and emits only the surviving
+    pairs. Rounding matches Spark's F.round exactly (HALF_UP via
+    sign*floor(|x|*1e4 + 0.5), NOT numpy's half-to-even) and the pair set /
+    values are verified identical to the pairwise-einsum form against the
+    oracle at every SF. A label block must fit one task (~n_label x 520 B +
+    the n_label² similarity matrix) — the same per-block bound every blocked
+    verify channel here carries; blocks beyond it belong to the ANN path."""
     import numpy as np
 
     e = _spread(
@@ -1666,30 +1730,35 @@ def embedding_cosine_near_dup(spark, sf_dir):
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
     )
+    tau = COSINE_TAU
 
-    @F.pandas_udf("double")
-    def pair_sim(av: pd.Series, bv: pd.Series) -> pd.Series:
-        A = np.vstack([np.asarray(v, dtype=np.float64) for v in av])
-        B = np.vstack([np.asarray(v, dtype=np.float64) for v in bv])
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(np.einsum("ij,ij->i", B, B))
-        return pd.Series(num / den)
-
-    a, b = e.alias("a"), e.alias("b")
-    return (
-        a.join(b, "label")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        # threshold on the ROUNDED similarity (and the oracle does the same):
-        # engine (numpy einsum) and oracle (DuckDB list fold) can differ in
-        # the last ulp, so a raw >= tau comparison could flip membership for
-        # a pair landing exactly on the boundary
-        .withColumn("sim", F.round(pair_sim(F.col("a.v"), F.col("b.v")), 4))
-        .filter(F.col("sim") >= COSINE_TAU)
-        .select(
-            F.col("a.vec_id").alias("vec_id_a"),
-            F.col("b.vec_id").alias("vec_id_b"),
-            "sim",
+    def _label_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id_a": pd.Series(dtype="int64"),
+                "vec_id_b": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
         )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        S = (V @ V.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        raw = S[iu, ju]
+        # Spark ROUND(x, 4) semantics: HALF_UP (away from zero), not numpy's
+        # banker's rounding — ties like 0.03125 must round to 0.0313
+        sim = np.sign(raw) * np.floor(np.abs(raw) * 10000.0 + 0.5) / 10000.0
+        m = sim >= tau
+        return pd.DataFrame(
+            {"vec_id_a": ids[iu[m]], "vec_id_b": ids[ju[m]], "sim": sim[m]}
+        )
+
+    return e.groupBy("label").applyInPandas(
+        _label_pairs, "vec_id_a long, vec_id_b long, sim double"
     )
 
 
