@@ -70,6 +70,7 @@ def main() -> None:
     ap.add_argument("--explain-dir", default="")
     ap.add_argument("--suffix", default="")
     ap.add_argument("--out", default="")
+    ap.add_argument("--plan-only", action="store_true")
     args = ap.parse_args()
 
     names = [q for q in args.queries.split(",") if q] or ALL_QUERIES
@@ -90,6 +91,11 @@ def main() -> None:
                 os.path.join(args.explain_dir, f"{name}{args.suffix}.txt"), "w"
             ) as fh:
                 fh.write(plan)
+        if args.plan_only:
+            print(f"{name}: plan captured", flush=True)
+            spark.catalog.clearCache()
+            gc.collect()
+            continue
         spark.catalog.clearCache()
         gc.collect()
         t0 = time.time()

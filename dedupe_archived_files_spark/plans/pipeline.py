@@ -85,7 +85,13 @@ def run_pipeline(pages: DataFrame, cfg: PipelineConfig | None = None) -> Pipelin
     # (identity at production scale — see queries._spread).
     from dedupe_archived_files_spark.queries import _spread
 
-    pages = _spread(pages)
+    # Cost-based split sizing (~256 KiB compressed input per task): the
+    # pipeline fans into ~15 downstream stages that all re-read the cached
+    # stage output, so per-task scheduling overhead multiplies — measured at
+    # sf0.1/local[32], 8 input partitions beat 32 by ~1.5 s end-to-end while
+    # sf1.0 ties; the byte-based target picks both automatically and clamps
+    # to defaultParallelism on bigger inputs.
+    pages = _spread(pages, bytes_per_task=256 << 10)
     # Stages 1+2 fused: extraction + shingling + MinHash + SimHash + title in
     # ONE Python crossing (operators.extract.extract_with_signature).
     # Stage-boundary materialization: every stage output below is consumed by

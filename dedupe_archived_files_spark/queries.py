@@ -34,20 +34,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, bytes_per_task: int | None = None) -> DataFrame:
     """Scale-ADAPTIVE parallelism floor before expensive per-row work
     (optimization r6, guide §2.2/§6): a parquet file is splittable only at
     row-group granularity, so a single-row-group table (every test SF up to
     sf1.0 — 50k-row files are one ~128k-row default row group) scans as ONE
     task and serializes every downstream tokenizer / md5 chain / Arrow UDF
     on one core no matter the cluster size. When the scan has fewer
-    partitions than the cluster's default parallelism, redistribute once —
-    AFTER column pruning (callers project first, so only the needed columns
-    shuffle) and BEFORE the per-row work. At production scale the input has
-    >= cores splits and this is the identity — no constant tuned to either
-    environment (the alternative, spark.sql.files.minPartitionNum, cannot
-    split below one row group, so it does nothing here)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    partitions than the target, redistribute once — AFTER column pruning
+    (callers project first, so only the needed columns shuffle) and BEFORE
+    the per-row work. At production scale the input has >= cores splits and
+    this is the identity — no constant tuned to either environment (the
+    alternative, spark.sql.files.minPartitionNum, cannot split below one
+    row group, so it does nothing here).
+
+    ``bytes_per_task`` opts into cost-based sizing for consumers whose
+    downstream plans fan into MANY small stages (the pipeline): the target
+    is then estimated-input-bytes / bytes_per_task, clamped to the default
+    parallelism — the same work-per-split idea as
+    spark.sql.files.maxPartitionBytes, scaled down for UDF-heavy work.
+    Without it the target is the full default parallelism (right for
+    single-stage UDF scans, where per-task overhead is paid once)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if bytes_per_task:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            target = max(1, min(target, -(-est // bytes_per_task)))
+        except Exception:  # noqa: BLE001 - stats unavailable → keep default
+            pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -2180,6 +2197,11 @@ def semantic_dedup_embeddings(
         B = np.vstack([np.asarray(v, dtype=np.float64) for v in bv])
         num = np.einsum("ij,ij->i", A, B)
         return pd.Series(num / (an.to_numpy() * bn.to_numpy()))
+
+    # asNondeterministic (guide §4.4): the tau filter on the UDF-derived
+    # `sim` column otherwise duplicates the ArrowEvalPython node (verify ran
+    # twice per candidate pair in the round-5 plan)
+    pair_cos = pair_cos.asNondeterministic()
 
     fa = b.select(
         F.col("vec_id").alias("vec_id_a"), F.col("v").alias("av"), F.col("nrm").alias("an")
