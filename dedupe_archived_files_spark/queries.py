@@ -87,22 +87,22 @@ def exact_dup_groups_events(spark, sf_dir):
     """J1+A1 on real repeated content: events.props groups sharing identical
     bytes; canonical = min id (deterministic A6).
 
-    Grouped by the md5 CONTENT HASH, not the raw props payload (optimization
-    r6, guide §2.3): the aggregation's hash tables and its shuffle then
-    carry a fixed 32-char key instead of an arbitrary-size body — the
-    content-addressing trick every exact-dedup tier here uses (md5 equality
-    ⇔ byte equality at any realistic corpus size, and the oracle's GROUP BY
-    props partitions identically)."""
+    Optimization r6 note: a variant grouping by md5(props) (fixed-width agg
+    keys, guide §2.3) was measured and REVERTED — computing 1M md5s on the
+    pre-shuffle (single-task at test SFs) side cost more than the slimmer
+    keys saved (+44% at sf1.0); the map-side partial agg already collapses
+    duplicate props before the exchange, so the md5 stays post-agg on ~100
+    surviving groups."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.select(
-            F.md5(F.encode(F.col("props"), "UTF-8")).alias("content_hash"),
-            "event_id",
-        )
-        .groupBy("content_hash")
+        ev.groupBy("props")
         .agg(F.count("*").alias("n_copies"), F.min("event_id").alias("canonical_id"))
         .filter(F.col("n_copies") >= 2)
-        .select("content_hash", "n_copies", "canonical_id")
+        .select(
+            F.md5(F.encode(F.col("props"), "UTF-8")).alias("content_hash"),
+            "n_copies",
+            "canonical_id",
+        )
     )
 
 
@@ -1783,7 +1783,10 @@ def multimodal_binary_meta(spark, sf_dir):
     """Multimodal plumbing: treat content as opaque binary + typed metadata
     (byte length, content hash, format sniff). Real decode is stubbed
     (functions.multimodal) — the schema/UDF plumbing is the tested part."""
-    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    # no _spread here (optimization r6, measured and reverted): one JVM md5
+    # pass over the blobs is cheaper single-task than the repartition
+    # exchange it would take to parallelize it (+47% at sf0.1, +84% at sf1.0)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     blob = F.encode(F.col("text"), "UTF-8")
     return d.select(
         "doc_id",
