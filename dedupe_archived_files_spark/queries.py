@@ -1763,16 +1763,34 @@ def embedding_cosine_near_dup(spark, sf_dir):
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
-        S = (V @ V.T) / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        raw = S[iu, ju]
-        # Spark ROUND(x, 4) semantics: HALF_UP (away from zero), not numpy's
-        # banker's rounding — ties like 0.03125 must round to 0.0313
-        sim = np.sign(raw) * np.floor(np.abs(raw) * 10000.0 + 0.5) / 10000.0
-        m = sim >= tau
-        return pd.DataFrame(
-            {"vec_id_a": ids[iu[m]], "vec_id_b": ids[ju[m]], "sim": sim[m]}
-        )
+        n = len(ids)
+        outs = []
+        # row-chunked matmul: peak memory is CHUNK x n doubles (~160 MB at a
+        # 1M-member block), not n² — the n² COMPUTE stays and is the
+        # documented per-block bound of every blocked verify channel
+        CHUNK = 2048
+        for i0 in range(0, n - 1, CHUNK):
+            i1 = min(i0 + CHUNK, n)
+            S = (V[i0:i1] @ V.T) / np.outer(nrm[i0:i1], nrm)
+            # upper-triangle within the chunk: global j > global i
+            ci, cj = np.nonzero(
+                np.arange(n)[None, :] > (i0 + np.arange(i1 - i0))[:, None]
+            )
+            raw = S[ci, cj]
+            # Spark ROUND(x, 4) semantics: HALF_UP (away from zero), not
+            # numpy's banker's rounding — ties like 0.03125 round to 0.0313
+            sim = np.sign(raw) * np.floor(np.abs(raw) * 10000.0 + 0.5) / 10000.0
+            m = sim >= tau
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_id_a": ids[i0 + ci[m]],
+                        "vec_id_b": ids[cj[m]],
+                        "sim": sim[m],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     return e.groupBy("label").applyInPandas(
         _label_pairs, "vec_id_a long, vec_id_b long, sim double"

@@ -157,3 +157,37 @@ def test_spread_lifts_single_partition_input(spark):
     assert Q._spread(wide) is wide
     # row set unchanged
     assert sorted(r["id"] for r in spread.collect()) == list(range(100))
+
+
+# ---------------------------------------------------------------------------
+# embedding_cosine_near_dup: chunked group-matmul crosses the 2048-row chunk
+# boundary without losing or duplicating pairs
+# ---------------------------------------------------------------------------
+
+def test_cosine_group_matmul_chunk_boundary(spark, tmp_path):
+    rng = np.random.RandomState(3)
+    n = 2100  # one label group spanning the 2048-row chunk boundary
+    base = rng.randn(8, 64)
+    V = base[rng.randint(0, 8, n)] + 0.35 * rng.randn(n, 64)  # clustered
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "label": ["g"] * n,
+            "embedding": [row.astype("float32") for row in V],
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+    out = Q.embedding_cosine_near_dup(spark, str(tmp_path)).toPandas()
+    # numpy truth with the same float64 cast + HALF_UP rounding contract
+    Vd = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    nrm = np.sqrt(np.einsum("ij,ij->i", Vd, Vd))
+    S = (Vd @ Vd.T) / np.outer(nrm, nrm)
+    iu, ju = np.triu_indices(n, 1)
+    raw = S[iu, ju]
+    sim = np.sign(raw) * np.floor(np.abs(raw) * 10000.0 + 0.5) / 10000.0
+    m = sim >= Q.COSINE_TAU
+    truth = {(int(a), int(b)) for a, b in zip(iu[m], ju[m])}
+    got = {(int(r.vec_id_a), int(r.vec_id_b)) for r in out.itertuples()}
+    assert truth  # the fixture must actually produce pairs
+    assert got == truth
+    assert len(out) == len(got)  # no duplicate rows across chunks
