@@ -1342,8 +1342,14 @@ def embedding_ann_ivf(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     sample_n = min(n, max(8 * n_centroids, 2048), IVF_TRAIN_SAMPLE)
+    # Deterministic sample WITHOUT the id-density assumption (ADVICE r5:
+    # `vec_id < sample_n` yields a tiny/empty sample on sparse or offset id
+    # spaces): take the sample_n smallest ids — identical row set on the
+    # dense 0-based driver tables (bit-identical centroids/output), a
+    # well-defined non-empty sample everywhere else. TakeOrderedAndProject
+    # keeps the collect bounded to sample_n rows.
     srows = sorted(
-        e.filter(F.col("vec_id") < sample_n).collect(), key=lambda r: r["vec_id"]
+        e.orderBy("vec_id").limit(sample_n).collect(), key=lambda r: r["vec_id"]
     )
     X = np.vstack([np.asarray(r["v"], dtype=np.float64) for r in srows])
     C = _spherical_kmeans(X, n_centroids)
@@ -1530,8 +1536,14 @@ def embedding_ann_ivf2(
     )
     # ---- level 1: coarse quantizer (same bounded driver train as embedding_ann_ivf)
     sample_n = min(n, max(8 * k1, 2048), IVF_TRAIN_SAMPLE)
+    # Deterministic sample WITHOUT the id-density assumption (ADVICE r5:
+    # `vec_id < sample_n` yields a tiny/empty sample on sparse or offset id
+    # spaces): take the sample_n smallest ids — identical row set on the
+    # dense 0-based driver tables (bit-identical centroids/output), a
+    # well-defined non-empty sample everywhere else. TakeOrderedAndProject
+    # keeps the collect bounded to sample_n rows.
     srows = sorted(
-        e.filter(F.col("vec_id") < sample_n).collect(), key=lambda r: r["vec_id"]
+        e.orderBy("vec_id").limit(sample_n).collect(), key=lambda r: r["vec_id"]
     )
     X = np.vstack([np.asarray(r["v"], dtype=np.float64) for r in srows])
     C1 = _spherical_kmeans(X, k1)
@@ -2156,8 +2168,14 @@ def semantic_dedup_embeddings(
         )
     )
     sample_n = min(n, max(8 * k, 2048), IVF_TRAIN_SAMPLE)
+    # Deterministic sample WITHOUT the id-density assumption (ADVICE r5:
+    # `vec_id < sample_n` yields a tiny/empty sample on sparse or offset id
+    # spaces): take the sample_n smallest ids — identical row set on the
+    # dense 0-based driver tables (bit-identical centroids/output), a
+    # well-defined non-empty sample everywhere else. TakeOrderedAndProject
+    # keeps the collect bounded to sample_n rows.
     srows = sorted(
-        e.filter(F.col("vec_id") < sample_n).collect(), key=lambda r: r["vec_id"]
+        e.orderBy("vec_id").limit(sample_n).collect(), key=lambda r: r["vec_id"]
     )
     X = np.vstack([np.asarray(r["v"], dtype=np.float64) for r in srows])
     C = _spherical_kmeans(X, k)
