@@ -200,24 +200,98 @@ def minhash_lsh_near_dup(spark, sf_dir):
     * signature-agreement prefilter at tau - 0.12 (~5σ below the estimator's
       mean for a true-0.9 pair) before paying for exact array intersection;
     * distinct() on the pair before the feature join so each pair is verified
-      once no matter how many bands it collides in."""
+      once no matter how many bands it collides in;
+    * EXACT-DUPLICATE-SET COLLAPSE (optimization r6): docs whose distinct
+      token SETS are identical have identical signatures, identical band
+      collisions and identical Jaccard to every third doc, so only one
+      representative per (lang, token-set) group needs to ride the band join
+      and the verify — member pairs are reconstructed afterwards from the
+      verified REP pairs (cross-group, same jac by set identity) plus the
+      intra-group cliques (jac exactly 1.0). Replica-heavy corpora (viral
+      re-crawls: the committed sf1.0 corpus is 50k docs / 4266 distinct sets)
+      collapse the candidate volume ~(docs/groups)^2 while the expansion cost
+      is proportional to the OUTPUT, which is irreducible. Group identity is
+      keyed on (lang, n_toks, xxhash64(sorted hashes), murmur3(sorted
+      hashes)) — ~96 independent bits, a far tighter regime than the
+      banding's own accepted 1.2e-7/pair miss margin. COST GATE: the tier
+      adds ~6 small stages (group agg, membership attach, pair expansion),
+      which at 5k-doc scale cost more than they save (measured sf0.1:
+      2.26 s -> 4.5 s) while a duplicate-heavy corpus collapses 2.9x
+      (measured sf1.0 replica corpus: 22.4 s -> 7.8 s) — so it engages only
+      when grouping at least HALVES the doc count (candidate volume down
+      >= 4x); below that the exact pre-collapse plan runs."""
     cfg = PipelineConfig(minhash_perms=126, lsh_bands=21)
     d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "lang", "text")).select(
         "doc_id", "lang", _distinct_tokens(F.col("text")).alias("toks")
     )
     # SLIM checkpoint (optimization r6, guide §2.3): only (doc_id, lang,
-    # n_toks, int64 hash array) is materialized — the distinct-token STRING
-    # arrays (the fattest column) never pin, and the array_sort is dropped
-    # (nothing downstream is order-sensitive: the k-permutation min and the
-    # set-intersect verify are both order-free).
+    # n_toks, int64 hash array, two 32/64-bit set-identity keys) is
+    # materialized — the distinct-token STRING arrays (the fattest column)
+    # never pin, and the hash array itself stays unsorted (nothing downstream
+    # is order-sensitive: the k-permutation min and the set-intersect verify
+    # are both order-free; the set-identity keys sort internally).
+    _th = F.transform(F.col("toks"), lambda t: F.xxhash64(t))
+    _ths = F.array_sort(_th)
     d = d.select(
         "doc_id",
         "lang",
         F.size("toks").alias("n_toks"),
-        F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("tok_hashes"),
+        _th.alias("tok_hashes"),
+        F.xxhash64(_ths).alias("k1"),
+        F.hash(_ths).alias("k2"),
     ).localCheckpoint(eager=True)  # eager: consumed by bands AND the verify join (lazy pins double-compute under AQE concurrent subqueries)
     minhash = make_minhash_udf(cfg.minhash_perms)
-    sig = d.withColumn("signature", minhash(F.col("tok_hashes")))
+    # One pass computes every scalar the adaptive decisions need: id-packing
+    # bounds, the broadcast-attach gate, and the duplicate-set ratio.
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.greatest(F.max("doc_id"), F.lit(0)).alias("mx"),
+        F.least(F.min("doc_id"), F.lit(0)).alias("mn"),
+        # HLL estimate, NOT countDistinct: an exact distinct adds an
+        # expand-based two-phase agg (one more exchange) to every invocation,
+        # while the gate below only needs ~2% accuracy on a 2x ratio test.
+        # k1 alone (64-bit hash of the sorted token-hash set) identifies
+        # groups up to cross-lang identical texts, which only UNDER-counts
+        # groups — at worst the tier engages slightly early, never misses.
+        F.approx_count_distinct("k1").alias("n_groups"),
+    ).collect()[0]
+    # Cost gate (see docstring): rep tier only when grouping at least halves
+    # the doc count — candidate volume then shrinks >= (docs/groups)^2 >= 4x,
+    # which clears the tier's ~6-small-stage fixed cost with margin at every
+    # scale measured; milder duplication keeps the status-quo plan.
+    rep_mode = 2 * stats["n_groups"] <= stats["n_docs"]
+    if rep_mode:
+        # groups: one exchange over slim keys; rep = min(doc_id) is
+        # deterministic. Broadcast both the group table (membership attach)
+        # and the rep-id list (LSH-side semi-join) while they fit — past
+        # ~250k groups the planner's shuffled joins on the slim keys take
+        # over (same scale gate as the verify attach below).
+        # Each of g / m / d_lsh feeds several downstream subtrees (feats a+b,
+        # ma/mb, intra self-join both sides, band build) — eager-checkpoint
+        # all three so the group agg and the membership join run once, not
+        # once per consumer (same rationale as the d/bands pins above; all
+        # three are <= corpus-slim, d_lsh <= half of d by the gate).
+        g = (
+            d.groupBy("lang", "n_toks", "k1", "k2")
+            .agg(F.min("doc_id").alias("rep"), F.count("*").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        g_b = F.broadcast(g) if stats["n_groups"] <= 250_000 else g
+        # membership (doc_id -> rep): docs with NULL n_toks (NULL text) drop
+        # out of the equi-join — harmless, they can never pair (no band rows)
+        m = (
+            d.join(g_b, ["lang", "n_toks", "k1", "k2"])
+            .select("doc_id", "rep", "cnt", "n_toks")
+            .localCheckpoint(eager=True)
+        )
+        d_lsh = d.join(
+            g_b.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+        ).localCheckpoint(eager=True)
+        n_lsh = stats["n_groups"]
+    else:
+        d_lsh = d
+        n_lsh = stats["n_docs"]
+    sig = d_lsh.withColumn("signature", minhash(F.col("tok_hashes")))
     # SLIM band rows: the self-join shuffles only (doc_id, lang, n_toks,
     # band_key) — signatures/token arrays never ride through the band join.
     # Pinned: both join sides read it.
@@ -248,11 +322,6 @@ def minhash_lsh_near_dup(spark, sf_dir):
     # distinct pairs), so the distinct shuffle is the query's biggest
     # exchange — packing (a << 32 | b) halves its bytes. Adaptive: falls
     # back to the two-column distinct when ids exceed 32 bits.
-    stats = d.agg(
-        F.count("*").alias("n_docs"),
-        F.greatest(F.max("doc_id"), F.lit(0)).alias("mx"),
-        F.least(F.min("doc_id"), F.lit(0)).alias("mn"),
-    ).collect()[0]
     if 0 <= stats["mn"] and stats["mx"] < (1 << 31):
         cand = (
             raw_pairs.select(
@@ -276,12 +345,14 @@ def minhash_lsh_near_dup(spark, sf_dir):
     # Broadcast the per-doc feature table into the attach joins when it fits
     # (guide §3.1: checkpointed inputs carry no size statistics, so the
     # planner would otherwise shuffle the CANDIDATE side — tens of millions
-    # of rows at sf1.0 — by doc_id twice; the feature side is n_docs × ~2 KB
+    # of rows at sf1.0 — by doc_id twice; the feature side is n_lsh × ~2 KB
     # and ships once to every executor instead). Scale-adaptive: beyond
-    # ~250k docs (~500 MB) the hint is dropped and the planner's shuffled
+    # ~250k rows (~500 MB) the hint is dropped and the planner's shuffled
     # join takes over.
-    feats = d.select("doc_id", F.col("n_toks").alias("nt"), F.col("tok_hashes").alias("th"))
-    if stats["n_docs"] <= 250_000:
+    feats = d_lsh.select(
+        "doc_id", F.col("n_toks").alias("nt"), F.col("tok_hashes").alias("th")
+    )
+    if n_lsh <= 250_000:
         feats = F.broadcast(feats)
     verified = (
         cand.join(
@@ -314,6 +385,43 @@ def minhash_lsh_near_dup(spark, sf_dir):
             "jac", F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
         )
     )
+    if rep_mode:
+        # Expansion back to member pairs — output-proportional, lossless:
+        # * cross-group: every member pair (x in A, y in B) has jac(x,y) ==
+        #   jac(repA, repB) by set identity; least/greatest restores the
+        #   doc_id_a < doc_id_b contract (member ids interleave arbitrarily);
+        # * intra-group: identical non-empty sets give i == na == nb, so the
+        #   verify arithmetic yields EXACTLY na/(na+nb-na) == 1.0 — emitted
+        #   as the literal without re-verifying; NULL/empty sets are excluded
+        #   (n_toks > 0) exactly as the band join excludes them.
+        rep_pairs = verified.select("doc_id_a", "doc_id_b", "jac")
+        ma = m.select(F.col("rep").alias("doc_id_a"), F.col("doc_id").alias("da"))
+        mb = m.select(F.col("rep").alias("doc_id_b"), F.col("doc_id").alias("db"))
+        if stats["n_docs"] <= 250_000:
+            ma, mb = F.broadcast(ma), F.broadcast(mb)
+        cross = (
+            rep_pairs.join(ma, "doc_id_a")
+            .join(mb, "doc_id_b")
+            .select(
+                F.least("da", "db").alias("doc_id_a"),
+                F.greatest("da", "db").alias("doc_id_b"),
+                "jac",
+            )
+        )
+        dup_m = m.filter((F.col("cnt") > 1) & (F.col("n_toks") > 0)).select(
+            "rep", "doc_id"
+        )
+        p, q = dup_m.alias("p"), dup_m.alias("q")
+        intra = p.join(
+            q,
+            (F.col("p.rep") == F.col("q.rep"))
+            & (F.col("p.doc_id") < F.col("q.doc_id")),
+        ).select(
+            F.col("p.doc_id").alias("doc_id_a"),
+            F.col("q.doc_id").alias("doc_id_b"),
+            F.lit(1.0).alias("jac"),
+        )
+        verified = cross.unionByName(intra)
     return verified.select("doc_id_a", "doc_id_b", F.round("jac", 4).alias("jac"))
 
 

@@ -191,3 +191,63 @@ def test_cosine_group_matmul_chunk_boundary(spark, tmp_path):
     assert truth  # the fixture must actually produce pairs
     assert got == truth
     assert len(out) == len(got)  # no duplicate rows across chunks
+
+
+# ---------------------------------------------------------------------------
+# minhash exact-duplicate-set collapse: rep-mode output == brute-force truth
+# on a duplicate-heavy corpus, including every expansion edge case
+# ---------------------------------------------------------------------------
+
+def test_minhash_rep_collapse_matches_brute_force(spark, tmp_path):
+    """Duplicate ratio 4x forces the rep tier ON (gate: groups*2 <= docs) and
+    the fixture covers the expansion edge cases: interleaved member ids
+    (least/greatest ordering), identical text under DIFFERENT langs (groups
+    separately, never pairs), a near-dup family across groups at jac 19/21
+    (cross expansion must carry the rep-level jac to every member pair), and
+    empty-token / NULL texts (excluded from intra cliques exactly as from the
+    band join). Truth is an independent pure-Python brute force."""
+    t20 = " ".join(f"tok{i}" for i in range(20))
+    t20b = " ".join(f"tok{i}" for i in range(19)) + " other"  # jac 19/21
+    base = [
+        ("en", t20),
+        ("en", t20b),
+        ("en", "totally different words with no overlap at all here now"),
+        ("de", t20),
+        ("en", ""),
+        ("en", None),
+    ]
+    rows = []
+    doc_id = 0
+    for _rep in range(4):  # 4 replicas, ids interleaved round-robin
+        for lang, text in base:
+            rows.append((doc_id, lang, "s0", text))
+            doc_id += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "source", "text"])
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    # independent brute-force truth (the oracle SQL's semantics): distinct
+    # space tokens, same-lang pairs, jac >= 0.9, jac rounded to 4 digits
+    def toks(t):
+        return set(filter(None, (t or "").lower().split(" ")))
+
+    truth = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if rows[i][1] != rows[j][1]:
+                continue
+            a, b = toks(rows[i][3]), toks(rows[j][3])
+            if not a or not b:
+                continue  # empty sets: 0/0 jaccard is NULL, never a pair
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.9:
+                truth.add((rows[i][0], rows[j][0], round(jac, 4)))
+
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.jac)
+        for r in Q.minhash_lsh_near_dup(spark, str(tmp_path)).collect()
+    }
+    assert any(j == 1.0 for _, _, j in truth)      # intra cliques present
+    assert any(j == 0.9048 for _, _, j in truth)   # cross near-dup present
+    empty_ids = {r[0] for r in rows if r[3] in ("", None)}
+    assert all(a not in empty_ids and b not in empty_ids for a, b, _ in got)
+    assert got == truth
