@@ -2259,7 +2259,26 @@ def semantic_dedup_embeddings(
     if tau is None:
         tau = COSINE_TAU
     raw = _t(spark, sf_dir, "embeddings")
-    n = n_hint if n_hint is not None else raw.count()
+    if n_hint is not None:
+        # caller-supplied size: trust it and skip the stats scan entirely
+        # (used by the refusal test); the duplicate-collapse tier stays off.
+        n, rep_mode = n_hint, False
+    else:
+        # One agg replaces the former raw.count(): row count plus an HLL
+        # estimate of DISTINCT embedding vectors (same single-pass gate
+        # design as minhash_lsh_near_dup — see its docstring). Identical
+        # vectors have identical normalizations, cell assignments and
+        # cosines to every third vector, so when duplication at least
+        # halves the corpus only one representative per distinct vector
+        # runs the assign/pair/verify pipeline and member pairs are
+        # expanded afterwards — candidate volume shrinks >= 4x while the
+        # expansion is output-proportional (irreducible).
+        st = raw.agg(
+            F.count("*").alias("n_rows"),
+            F.approx_count_distinct(F.xxhash64("embedding")).alias("n_groups"),
+        ).collect()[0]
+        n = st["n_rows"]
+        rep_mode = 2 * st["n_groups"] <= st["n_rows"]
     k = semdedup_n_cells(n)
     if n / k > SEMDEDUP_CELL_CAP:
         raise NotImplementedError(
@@ -2275,6 +2294,32 @@ def semantic_dedup_embeddings(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
         )
     )
+    if rep_mode:
+        # Group identity on the exact double arrays the verify consumes:
+        # (xxhash64, murmur3) — the same ~96-bit two-hash regime as the
+        # minhash collapse. Training below still samples the FULL corpus
+        # (identical centroids → identical assignments → bit-identical
+        # output); only assign/pair/verify shrink to representatives.
+        ek = e.select(
+            "vec_id", "v", F.xxhash64("v").alias("kx"), F.hash("v").alias("km")
+        ).localCheckpoint(eager=True)
+        g = (
+            ek.groupBy("kx", "km")
+            .agg(F.min("vec_id").alias("rep"), F.count("*").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        g_b = F.broadcast(g) if n <= 250_000 else g
+        memb = (
+            ek.select("vec_id", "kx", "km")
+            .join(g_b, ["kx", "km"])
+            .select("vec_id", "rep", "cnt")
+            .localCheckpoint(eager=True)
+        )
+        e_work = ek.join(
+            g_b.select(F.col("rep").alias("vec_id")), "vec_id", "left_semi"
+        ).select("vec_id", "v")
+    else:
+        e_work = e
     sample_n = min(n, max(8 * k, 2048), IVF_TRAIN_SAMPLE)
     # Deterministic sample WITHOUT the id-density assumption (ADVICE r5:
     # `vec_id < sample_n` yields a tiny/empty sample on sparse or offset id
@@ -2316,7 +2361,7 @@ def semantic_dedup_embeddings(
     # arithmetic (same einsum, same rounding) sees identical inputs and the
     # output is bit-identical.
     b = (
-        e.withColumn("_a", assign_udf("v"))
+        e_work.withColumn("_a", assign_udf("v"))
         .select(
             "vec_id",
             "v",
@@ -2356,13 +2401,51 @@ def semantic_dedup_embeddings(
     fb = b.select(
         F.col("vec_id").alias("vec_id_b"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
     )
-    return (
+    res = (
         cand.join(fa, "vec_id_a")
         .join(fb, "vec_id_b")
         .withColumn("sim", F.round(pair_cos("av", "bv", "an", "bn"), 4))
         .filter(F.col("sim") >= tau)
         .select("vec_id_a", "vec_id_b", "sim")
     )
+    if rep_mode:
+        # Expansion to member pairs (lossless, output-proportional):
+        # cross-group pairs inherit the rep pair's sim — the verify computes
+        # it from the identical double arrays/norms any member carries;
+        # intra-group pairs emit sim = 1.0, which is exactly what the verify
+        # yields for identical vectors (|num/denom - 1| <= a few ulps, so
+        # the HALF_UP 4-digit rounding is 1.0 bit-for-bit).
+        ma = memb.select(F.col("rep").alias("vec_id_a"), F.col("vec_id").alias("xa"))
+        mb = memb.select(F.col("rep").alias("vec_id_b"), F.col("vec_id").alias("xb"))
+        if n <= 250_000:
+            ma, mb = F.broadcast(ma), F.broadcast(mb)
+        cross = (
+            res.join(ma, "vec_id_a")
+            .join(mb, "vec_id_b")
+            .select(
+                F.least("xa", "xb").alias("vec_id_a"),
+                F.greatest("xa", "xb").alias("vec_id_b"),
+                "sim",
+            )
+        )
+        dup = memb.filter(F.col("cnt") > 1).select("rep", "vec_id")
+        p, q = dup.alias("p"), dup.alias("q")
+        if n <= 250_000:
+            q = F.broadcast(q)  # keeps the clique self-join off a sort-merge
+        intra = p.join(
+            q,
+            (F.col("p.rep") == F.col("q.rep"))
+            & (F.col("p.vec_id") < F.col("q.vec_id")),
+        ).select(
+            F.col("p.vec_id").alias("vec_id_a"),
+            F.col("q.vec_id").alias("vec_id_b"),
+            F.lit(1.0).alias("sim"),
+        )
+        if tau <= 1.0:
+            res = cross.unionByName(intra)
+        else:  # degenerate tau: identical vectors cannot clear it either
+            res = cross
+    return res
 
 
 CURATE_MIN_TOKENS = 16   # min whitespace-token gate (Gopher-style length floor)
